@@ -1,0 +1,48 @@
+"""Masked patch gathers — fixed-shape replacements for the reference's
+compacting `gather` (src/utils/batch.py:46-73) and index<->location helpers
+(src/models/matching.py:63-78).
+
+The reference compacts gathered features to (sum(valid), C), which is a
+dynamic shape. On TPU we keep (B, N, C) and return the validity mask; invalid
+rows read patch (0, 0) (cheap, in-bounds) and must be masked by the consumer.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def patch_index_to_location(index: jnp.ndarray, num_patches: int) -> jnp.ndarray:
+    """Flat patch index (...,) -> (..., 2) [x, y] grid location (float)."""
+    h = index // num_patches
+    w = index % num_patches
+    return jnp.stack([w, h], axis=-1).astype(jnp.float32)
+
+
+def patch_location_to_index(location: jnp.ndarray, num_patches: int) -> jnp.ndarray:
+    """(..., 2) [x, y] -> flat index (...,) int32."""
+    return (location[..., 1] * num_patches + location[..., 0]).astype(jnp.int32)
+
+
+def gather_patches(
+    features: jnp.ndarray, points: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather per-patch features at integer patch locations.
+
+    Args:
+        features: (B, P, C) patch-major features, P = H*W patches.
+        points:   (B, N, 2) [x, y] patch coords; (-1, -1) marks invalid.
+    Returns:
+        (B, N, C) gathered features (invalid rows read patch 0) and
+        (B, N) bool validity mask.
+    """
+    B, P, C = features.shape
+    num_patches = int(round(P ** 0.5))
+    x = points[..., 0].astype(jnp.int32)
+    y = points[..., 1].astype(jnp.int32)
+    valid = (x >= 0) & (y >= 0)
+    idx = jnp.where(valid, y * num_patches + x, 0)
+    out = jnp.take_along_axis(features, idx[..., None], axis=1)
+    return out, valid
