@@ -128,15 +128,14 @@ def geodesic_distance_cos_sin(
     return jnp.mean(jnp.arccos(cos_diff))
 
 
-_CV2GL = jnp.array(
-    [[1.0, 0, 0, 0], [0, -1.0, 0, 0], [0, 0, -1.0, 0], [0, 0, 0, 1.0]]
-)
+# numpy so importing this module never initializes a device backend
+_CV2GL = __import__("numpy").diag([1.0, -1.0, -1.0, 1.0])
 
 
 def opencv_to_opengl(T: jnp.ndarray) -> jnp.ndarray:
     """Flip y/z camera axes: OpenCV <-> OpenGL (involution). Ref: opencv2opengl,
     src/lib3d/numpy.py:44-50. Works on (..., 4, 4)."""
-    return einsum("ij,...jk->...ik", _CV2GL.astype(T.dtype), T)
+    return einsum("ij,...jk->...ik", jnp.asarray(_CV2GL, T.dtype), T)
 
 
 def rotation_geodesic_deg(R1: jnp.ndarray, R2: jnp.ndarray) -> jnp.ndarray:

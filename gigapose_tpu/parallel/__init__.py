@@ -1,0 +1,6 @@
+from gigapose_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_parallel_sharding,
+)

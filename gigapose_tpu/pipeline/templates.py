@@ -1,0 +1,151 @@
+"""Template store + onboarding: precomputed per-object template features.
+
+Rebuild of the reference's set_template_data (src/models/gigaPose.py:357-398)
+and TemplateSet (src/dataloader/template.py:17-81): for every object, its V
+(=162) rendered RGBA templates are cropped to 224 around the alpha bbox,
+normalized, pushed through both networks, and cached on device:
+
+- ae_features  (O, V, P, C_ae)   L2-normalized ViT patch features
+- ist_features (O, V, P, C_ist)  IST descriptor grids
+- masks        (O, V, P)         patch-level alpha masks
+- Ms           (O, V, 3, 3)      crop affines
+- poses        (O, V, 4, 4)      object poses of each view
+- K            (O, 3, 3)         template camera intrinsics
+
+The store is a pytree, so it shards over a device mesh (replicate or shard on
+O) and feeds straight into the jitted estimator. Template RGB crops are kept
+optionally (for visualization only; the reference drops them in low-memory
+mode, gigaPose.py:369-371).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gigapose_tpu.ops.crop import crop_resize_pad
+from gigapose_tpu.ops.matching import downsample_mask
+
+# CLIP-style normalization (ref: configs/data/transform.yaml:2-8)
+RGB_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+RGB_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+# Fixed template intrinsics (ref: src/scripts/render_bop_templates.py:70,
+# src/custom_megapose/template_dataset.py:194-196); 480x640, object at 0.4 m.
+TEMPLATE_K = np.array(
+    [[572.4114, 0.0, 320.0], [0.0, 573.57043, 240.0], [0.0, 0.0, 1.0]], np.float32
+)
+
+
+def normalize_rgb(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, H, W) in [0, 1] -> CLIP-normalized."""
+    mean = jnp.asarray(RGB_MEAN).reshape((3, 1, 1))
+    std = jnp.asarray(RGB_STD).reshape((3, 1, 1))
+    return (rgb - mean) / std
+
+
+def alpha_bboxes(alphas: np.ndarray) -> np.ndarray:
+    """(V, H, W) alpha channels -> (V, 4) xyxy tight boxes (PIL getbbox
+    convention: exclusive max edge; ref template_dataset.py:76-82 incl. the
+    zero-area full-image fallback)."""
+    V, H, W = alphas.shape
+    boxes = np.zeros((V, 4), np.int32)
+    for v in range(V):
+        ys, xs = np.nonzero(alphas[v] > 0)
+        if len(ys) == 0:
+            boxes[v] = (0, 0, W, H)
+        else:
+            boxes[v] = (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1)
+    return boxes
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TemplateStore:
+    ae_features: jnp.ndarray  # (O, V, P, C_ae)
+    ist_features: jnp.ndarray  # (O, V, P, C_ist)
+    masks: jnp.ndarray  # (O, V, P) float {0,1}
+    Ms: jnp.ndarray  # (O, V, 3, 3)
+    poses: jnp.ndarray  # (O, V, 4, 4)
+    K: jnp.ndarray  # (O, 3, 3)
+
+    @property
+    def num_objects(self) -> int:
+        return self.ae_features.shape[0]
+
+    @property
+    def num_views(self) -> int:
+        return self.ae_features.shape[1]
+
+
+def onboard_object(
+    ae_apply: Callable,
+    ist_apply: Callable,
+    rgbas: np.ndarray,
+    poses: np.ndarray,
+    K: Optional[np.ndarray] = None,
+    target_size: int = 224,
+    num_patches: int = 16,
+    chunk: int = 64,
+    feature_dtype=jnp.float32,
+):
+    """Onboard one object: (V, 4, H, W) RGBA templates in [0,1] -> per-view
+    features/masks/Ms. `chunk` bounds peak activation memory like the
+    reference's forward_by_chunk (max_batch_size=64)."""
+    V = rgbas.shape[0]
+    boxes = alpha_bboxes(np.asarray(rgbas[:, 3]))
+    crops, Ms = crop_resize_pad(
+        jnp.asarray(rgbas, jnp.float32), jnp.asarray(boxes), target_size
+    )
+    rgb = normalize_rgb(crops[:, :3])
+    mask_img = crops[:, 3]
+    masks = downsample_mask(mask_img, num_patches)
+
+    ae_feats, ist_feats = [], []
+    for s in range(0, V, chunk):
+        e = min(s + chunk, V)
+        # pad the tail chunk so the jitted applies see one shape
+        pad = chunk - (e - s)
+        x = jnp.pad(rgb[s:e], ((0, pad), (0, 0), (0, 0), (0, 0)))
+        ae_feats.append(ae_apply(x)[: e - s])
+        ist_feats.append(ist_apply(x)[: e - s])
+    ae_f = jnp.concatenate(ae_feats).astype(feature_dtype)
+    ist_f = jnp.concatenate(ist_feats).astype(feature_dtype)
+    return dict(
+        ae_features=ae_f,
+        ist_features=ist_f,
+        masks=masks.astype(jnp.float32),
+        Ms=Ms,
+        poses=jnp.asarray(poses, jnp.float32),
+        K=jnp.asarray(TEMPLATE_K if K is None else K, jnp.float32),
+        rgb=rgb,
+        mask_img=mask_img,
+    )
+
+
+def onboard_templates(
+    ae_apply: Callable,
+    ist_apply: Callable,
+    rgbas_per_object,  # iterable of (V, 4, H, W) arrays
+    poses_per_object,  # iterable of (V, 4, 4) arrays
+    Ks_per_object=None,
+    **kwargs,
+) -> TemplateStore:
+    """Onboard a dataset's objects into a stacked TemplateStore."""
+    entries = []
+    for i, (rgbas, poses) in enumerate(zip(rgbas_per_object, poses_per_object)):
+        K = None if Ks_per_object is None else Ks_per_object[i]
+        entries.append(onboard_object(ae_apply, ist_apply, rgbas, poses, K, **kwargs))
+    stack = lambda name: jnp.stack([e[name] for e in entries])
+    return TemplateStore(
+        ae_features=stack("ae_features"),
+        ist_features=stack("ist_features"),
+        masks=stack("masks"),
+        Ms=stack("Ms"),
+        poses=stack("poses"),
+        K=stack("K"),
+    )

@@ -1,0 +1,169 @@
+"""Model forward shapes + numerical parity of the flax ViT against the local
+torch DINOv2 implementation in `transformers` (random-init, weight-converted).
+
+This box has ONE CPU core: default tests use tiny configs; full-size forwards
+are marked `slow` and meant for the TPU chip (bench.py exercises them)."""
+
+import os
+
+# keep transformers fully offline and TF-free (zero-egress box; TF import
+# alone costs ~15 s of the single core)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+os.environ.setdefault("USE_TF", "0")
+os.environ.setdefault("USE_FLAX", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigapose_tpu.models.ae_net import AENet
+from gigapose_tpu.models.ist_net import (
+    ISTBackbone,
+    ISTNet,
+    Regressor,
+    fill_invalid,
+    resize_bilinear_align_corners,
+)
+from gigapose_tpu.models.vit import ViT, VIT_CONFIGS
+from gigapose_tpu.models import losses
+
+
+def tiny_ist_net():
+    return ISTNet(
+        backbone=ISTBackbone(
+            initial_dim=16, block_dims=(16, 16, 24, 32), descriptor_size=32,
+            input_size=64,
+        ),
+        regressor=Regressor(hidden_dim=32),
+    )
+
+
+def test_ae_net_tiny_forward():
+    net = AENet(model_name="vit_tiny_test")
+    x = jnp.zeros((2, 3, 56, 56))  # 4x4 patch grid
+    params = net.init(jax.random.PRNGKey(0), x)
+    feats = jax.jit(net.apply)(params, x)
+    assert feats.shape == (2, 16, 64)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(feats), axis=-1), 1.0, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_ae_net_vits_forward():
+    net = AENet(model_name="dinov2_vits14")
+    x = jnp.zeros((2, 3, 224, 224))
+    params = net.init(jax.random.PRNGKey(0), x)
+    feats = jax.jit(net.apply)(params, x)
+    assert feats.shape == (2, 256, 384)
+
+
+def test_ist_net_forward_and_regress():
+    net = tiny_ist_net()
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 3, 64, 64)), jnp.float32)  # 4x4 grid
+    pts = jnp.asarray(rng.integers(-1, 4, size=(2, 8, 2)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), img, img, pts, pts)
+    res = net.apply(variables, img, img, pts, pts)
+    assert res.scale.shape == (2, 8)
+    assert res.cossin.shape == (2, 8, 2)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(res.cossin), axis=-1), 1.0, atol=1e-5
+    )
+    s, cs = fill_invalid(res)
+    v = np.asarray(res.valid)
+    assert np.all(np.asarray(s)[~v] == -1000)
+    feats = net.apply(variables, img, method=net.features)
+    assert feats.shape == (2, 16, 32)
+
+
+def test_resize_align_corners_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    want = F.interpolate(
+        torch.from_numpy(x), (48, 48), mode="bilinear", align_corners=True
+    ).numpy()
+    got = resize_bilinear_align_corners(jnp.asarray(x.transpose(0, 2, 3, 1)), (48, 48))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=1e-4)
+
+
+def test_vit_matches_transformers_dinov2():
+    """Random-init torch DINOv2 (transformers) == our flax ViT after weight
+    conversion; gates the torch-checkpoint parity path (SURVEY §7 hard part 1)."""
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+
+    from gigapose_tpu.models.convert import dinov2_hf_to_flax
+    from gigapose_tpu.models.vit import ViTConfig
+
+    cfg_t = Dinov2Config(
+        hidden_size=96,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        mlp_ratio=4,
+        image_size=56,
+        patch_size=14,
+        layerscale_value=1e-5,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    model_t = Dinov2Model(cfg_t).eval()
+    with torch.no_grad():
+        for n, p in model_t.named_parameters():
+            if "lambda1" in n or "position_embeddings" in n or "cls_token" in n:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    x = np.random.default_rng(2).normal(size=(2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        out_t = model_t(torch.from_numpy(x)).last_hidden_state.numpy()
+
+    cfg_j = ViTConfig(embed_dim=96, depth=3, num_heads=4)
+    vit = ViT(cfg_j, pos_embed_size=4)
+    params = dinov2_hf_to_flax(model_t.state_dict(), depth=3)
+    out_j = vit.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_j["x_norm"]), out_t, atol=2e-4)
+
+
+def test_info_nce_matches_compacted():
+    """Masked InfoNCE == reference-style compacted cross-entropy."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(3)
+    N, C = 24, 16
+    q = rng.normal(size=(N, C)).astype(np.float32)
+    r = q + 0.3 * rng.normal(size=(N, C)).astype(np.float32)
+    valid = rng.uniform(size=N) > 0.3
+
+    qs, rs = q[valid], r[valid]
+    qt = F.normalize(torch.from_numpy(qs), dim=1)
+    rt = F.normalize(torch.from_numpy(rs), dim=1)
+    logits = qt @ rt.t() / 0.1
+    want = F.cross_entropy(logits, torch.arange(int(valid.sum()))).item()
+
+    got = losses.info_nce_loss(
+        jnp.asarray(q), jnp.asarray(r), jnp.asarray(valid), tau=0.1
+    )
+    np.testing.assert_allclose(float(got), want, rtol=1e-4)
+
+
+def test_scale_inplane_losses():
+    rng = np.random.default_rng(4)
+    pred = jnp.asarray(rng.uniform(0.5, 2, 10), jnp.float32)
+    gt = jnp.asarray(rng.uniform(0.5, 2, 10), jnp.float32)
+    valid = jnp.ones(10, bool)
+    l = losses.scale_loss(pred, gt, valid, log=True)
+    want = np.mean((np.log(np.asarray(pred)) - np.log(np.asarray(gt))) ** 2)
+    np.testing.assert_allclose(float(l), want, rtol=1e-4)
+
+    ang_p = rng.uniform(0, 2 * np.pi, 10)
+    ang_g = ang_p + 0.1
+    cs_p = jnp.asarray(np.stack([np.cos(ang_p), np.sin(ang_p)], -1), jnp.float32)
+    cs_g = jnp.asarray(np.stack([np.cos(ang_g), np.sin(ang_g)], -1), jnp.float32)
+    li = losses.inplane_loss(cs_p, cs_g, valid)
+    np.testing.assert_allclose(float(li), 0.1, atol=1e-3)
