@@ -1,0 +1,68 @@
+"""Benchmark: end-to-end coarse-inference query crops/sec on one TPU chip.
+
+Measures the full jitted pipeline per BASELINE.json's north star — DINOv2
+patch features + dense 162-template patch matching + IST regression +
+one-correspondence RANSAC + closed-form 6D recovery per detection crop.
+
+Baseline: the reference repo publishes no absolute throughput (BASELINE.md);
+the paper (arXiv 2311.14155) reports the coarse stage at ~48 ms/image on a
+V100 for the BOP'23 suite — about 2.6 detections/image on LM-O -> ~54
+crops/sec; we use 54 crops/sec as the PyTorch-reference yardstick for
+`vs_baseline` and note it is an estimate, not a measured A100 number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: GIGAPOSE_BENCH_MODEL (default dinov2_vits14),
+GIGAPOSE_BENCH_BATCH (default 16), GIGAPOSE_BENCH_ITERS (default 20).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    model = os.environ.get("GIGAPOSE_BENCH_MODEL", "dinov2_vits14")
+    B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", "16"))
+    iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "20"))
+
+    import jax
+
+    from __graft_entry__ import _coarse_setup
+
+    fn, (ae_params, ist_vars, store, batch) = _coarse_setup(
+        model, B=B, V=162, npat=16, img=224
+    )
+    # scale batch
+    jfn = jax.jit(fn)
+
+    out = jfn(ae_params, ist_vars, store, batch)
+    jax.block_until_ready(out)  # compile + warmup
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(ae_params, ist_vars, store, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    crops_per_sec = B * iters / dt
+    baseline = 54.0  # estimated reference coarse crops/sec (see module docstring)
+    print(
+        json.dumps(
+            {
+                "metric": f"coarse query crops/sec ({model}, B={B}, 162 templates)",
+                "value": round(crops_per_sec, 2),
+                "unit": "crops/s",
+                "vs_baseline": round(crops_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
