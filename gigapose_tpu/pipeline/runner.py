@@ -1,0 +1,194 @@
+"""Coarse inference runner: BOP dataset -> npz prediction batches -> BOP csv.
+
+The host orchestration that the reference spreads over GigaPose.test_step /
+eval_retrieval / filter_and_save / on_test_epoch_end (src/models/gigaPose.py:
+400-653) and trainer plumbing, around our single jitted device function:
+
+1. onboard the dataset's objects into a TemplateStore (once),
+2. per test image: decode detections (host), crop+normalize (device, one
+   fixed shape per padding bucket), run the jitted coarse pipeline,
+3. filter per the localization protocol (top inst_count per target object by
+   score — gigaPose.py:400-449),
+4. write per-batch npz with the BOP timing fields and merge to csv.
+
+Fixed-shape discipline: detection counts are padded up to the next bucket in
+PAD_BUCKETS so jit compiles a handful of shapes, not one per image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import os.path as osp
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gigapose_tpu.dataloader import bop_io
+from gigapose_tpu.dataloader.templates_disk import list_objects, load_object_templates
+from gigapose_tpu.dataloader.test_set import ImageDetections, InferenceDataset
+from gigapose_tpu.ops.crop import crop_resize_pad
+from gigapose_tpu.ops.matching import downsample_mask
+from gigapose_tpu.pipeline.estimator import DetectionBatch, GigaPoseEstimator
+from gigapose_tpu.pipeline.templates import (
+    TemplateStore,
+    normalize_rgb,
+    onboard_templates,
+)
+from gigapose_tpu.utils.logging import get_logger
+from gigapose_tpu.utils.timer import Timer
+
+logger = get_logger(__name__)
+
+PAD_BUCKETS = (4, 8, 16, 32, 64, 128)
+
+
+def pad_bucket(n: int) -> int:
+    for b in PAD_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + PAD_BUCKETS[-1] - 1) // PAD_BUCKETS[-1]) * PAD_BUCKETS[-1]
+
+
+@dataclasses.dataclass
+class CoarseRunner:
+    estimator: GigaPoseEstimator
+    store: TemplateStore
+    save_dir: str
+    dataset_name: str
+    num_patches: int = 16
+    target_size: int = 224
+
+    @classmethod
+    def onboard(
+        cls,
+        estimator: GigaPoseEstimator,
+        template_dir: str,
+        save_dir: str,
+        dataset_name: str,
+        num_templates: Optional[int] = None,
+        scale_factor: float = 1.0,
+        **kwargs,
+    ) -> "CoarseRunner":
+        """Build the TemplateStore from a rendered template directory
+        (ref: set_template_data, gigaPose.py:357-398)."""
+        timer = Timer().tic()
+        obj_ids = list_objects(template_dir)
+        rgbas, poses = [], []
+        for obj_id in obj_ids:
+            data = load_object_templates(
+                template_dir, obj_id, num_templates, scale_factor
+            )
+            rgbas.append(data["rgba"])
+            poses.append(data["poses"])
+        store = onboard_templates(
+            estimator.ae_apply, estimator.ist_apply, rgbas, poses
+        )
+        dt = timer.toc(block_on=store.ae_features)
+        logger.info(
+            f"Onboarded {len(obj_ids)} objects in {dt:.1f}s "
+            f"({dt / max(len(obj_ids), 1):.2f} s/object)"
+        )
+        return cls(estimator=estimator, store=store, save_dir=save_dir,
+                   dataset_name=dataset_name, **kwargs)
+
+    def prepare_batch(self, image: ImageDetections) -> DetectionBatch:
+        """Host decode -> device crop/normalize, padded to a shape bucket."""
+        N = len(image.labels)
+        Np = pad_bucket(N)
+        H, W = image.rgb.shape[:2]
+        rgb = jnp.asarray(image.rgb, jnp.float32) / 255.0  # (H, W, 3)
+        masks = jnp.asarray(image.masks, jnp.float32)  # (N, H, W)
+        # masked RGBA per detection (ref: process_real, train.py:107-110)
+        rgba = jnp.concatenate(
+            [rgb.transpose(2, 0, 1)[None] * masks[:, None], masks[:, None]], axis=1
+        )  # (N, 4, H, W)
+        boxes = jnp.asarray(image.boxes_xyxy, jnp.float32)
+        crops, Ms = crop_resize_pad(rgba, boxes, self.target_size)
+        crop_rgb = normalize_rgb(crops[:, :3])
+        crop_mask = downsample_mask(crops[:, 3], self.num_patches)
+
+        pad = Np - N
+        z = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        return DetectionBatch(
+            crops=z(crop_rgb),
+            masks=z(crop_mask),
+            labels=z(jnp.asarray(image.labels - 1, jnp.int32)),  # 0-based store idx
+            Ks=z(jnp.asarray(np.tile(image.K[None], (N, 1, 1)), jnp.float32)),
+            Ms=z(Ms),
+            valid=jnp.concatenate([jnp.ones(N, bool), jnp.zeros(pad, bool)]),
+        )
+
+    def filter_localization(
+        self, image: ImageDetections, scores: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Keep top inst_count detections per target object by top-1 score
+        (ref: filter_and_save, gigaPose.py:400-449). Returns (selected indices,
+        per-selection detection_time)."""
+        sel: List[int] = []
+        det_times: List[float] = []
+        labels = image.obj_ids
+        for target in image.test_list:
+            obj_id = target["obj_id"]
+            inst = int(target.get("inst_count", 1))
+            idx = np.where(labels == obj_id)[0]
+            order = idx[np.argsort(-scores[idx])][:inst]
+            sel.extend(order.tolist())
+            det_times.extend([image.detection_time] * len(order))
+        return np.asarray(sel, np.int64), np.asarray(det_times)
+
+    def run(
+        self,
+        dataset: InferenceDataset,
+        test_setting: str = "localization",
+        model_name: str = "large",
+        run_id="0",
+        max_images: Optional[int] = None,
+    ) -> List[str]:
+        pred_dir = osp.join(self.save_dir, "predictions")
+        os.makedirs(pred_dir, exist_ok=True)
+        # drop stale batches from previous runs: the merge globs *.npz, and a
+        # shorter rerun would otherwise silently include leftovers
+        for f in os.listdir(pred_dir):
+            if f.endswith(".npz"):
+                os.remove(osp.join(pred_dir, f))
+        timer = Timer()
+        n_img = 0
+        for idx_batch, image in enumerate(dataset):
+            if max_images is not None and n_img >= max_images:
+                break
+            n_img += 1
+            timer.tic()
+            batch = self.prepare_batch(image)
+            pred = self.estimator(self.store, batch)
+            poses = np.asarray(pred.poses, np.float64)  # (Np, k, 4, 4)
+            scores = np.asarray(pred.scores, np.float64)
+            elapsed = timer.toc(block_on=pred.poses)
+
+            N = len(image.labels)
+            poses, scores = poses[:N], scores[:N]
+            if test_setting == "localization" and image.test_list:
+                sel, det_times = self.filter_localization(image, scores[:, 0])
+            else:
+                sel = np.arange(N)
+                det_times = np.full(N, image.detection_time)
+            if len(sel) == 0:
+                continue
+            # poses to mm for the BOP csv convention (reference template poses
+            # are mm already; ours follow the store's unit — callers keep mm)
+            np.savez(
+                osp.join(pred_dir, f"{idx_batch:06d}.npz"),
+                scene_id=np.full(len(sel), image.scene_id, np.int32),
+                im_id=np.full(len(sel), image.im_id, np.int32),
+                object_id=image.labels[sel].astype(np.int32),
+                poses=poses[sel],
+                scores=scores[sel],
+                time=np.full(len(sel), elapsed),
+                detection_time=det_times,
+            )
+        logger.info(f"Ran coarse inference on {n_img} images")
+        return bop_io.merge_batched_predictions(
+            pred_dir, self.dataset_name, model_name, run_id, is_refined=False
+        )

@@ -1,0 +1,122 @@
+"""Coarse inference CLI (the reference's test.py:15-87, same override surface).
+
+Usage:
+    python test.py test_dataset_name=lmo run_id=0 [model=small] [key=value ...]
+
+Pipeline: load config -> build estimator (+ optional torch-ckpt conversion) ->
+onboard templates -> run the BOP test split -> write npz batches + BOP csv.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import sys
+
+
+def build_estimator(cfg, tiny: bool = False):
+    from gigapose_tpu.models.ist_net import ISTBackbone, ISTNet, Regressor
+    from gigapose_tpu.pipeline.estimator import EstimatorConfig, GigaPoseEstimator
+
+    est_cfg = EstimatorConfig(
+        k=cfg.model.testing_metric.k,
+        sim_threshold=cfg.model.testing_metric.sim_threshold,
+        patch_threshold=cfg.model.testing_metric.patch_threshold,
+        pixel_threshold=cfg.model.ransac.pixel_threshold,
+    )
+    if tiny:  # smoke/e2e-testing path: tiny nets, full pipeline
+        import jax
+        import jax.numpy as jnp
+
+        from gigapose_tpu.models.ae_net import AENet
+
+        ae = AENet(model_name="vit_tiny_test")
+        ist = ISTNet(
+            backbone=ISTBackbone(
+                initial_dim=16, block_dims=(16, 16, 24, 32),
+                descriptor_size=32, input_size=64,
+            ),
+            regressor=Regressor(hidden_dim=32),
+        )
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        d224 = jnp.zeros((1, 3, 224, 224), jnp.float32)
+        dpts = jnp.zeros((1, 4, 2), jnp.float32)
+        return GigaPoseEstimator(
+            ae_net=ae, ist_net=ist,
+            ae_params=ae.init(k1, d224),
+            ist_vars=ist.init(k2, d224, d224, dpts, dpts),
+            config=est_cfg,
+        )
+
+    est = GigaPoseEstimator.create(
+        model_name=cfg.model.ae_net.backbone,
+        config=est_cfg,
+        ist_descriptor_size=cfg.model.ist_net.descriptor_size,
+    )
+    ckpt = cfg.model.get("checkpoint_path")
+    if ckpt and str(ckpt).endswith(".ckpt") and osp.exists(str(ckpt)):
+        from gigapose_tpu.models.convert import gigapose_ckpt_to_flax
+        from gigapose_tpu.models.vit import VIT_CONFIGS
+
+        depth = VIT_CONFIGS[cfg.model.ae_net.backbone].depth
+        converted = gigapose_ckpt_to_flax(str(ckpt), depth)
+        est.ae_params = {"params": converted["ae"]}
+        ist_params, ist_stats = converted["ist"]
+        est.ist_vars = {"params": ist_params, "batch_stats": ist_stats}
+        print(f"Loaded + converted torch checkpoint {ckpt}")
+    return est
+
+
+def main(argv=None):
+    from gigapose_tpu.dataloader.test_set import InferenceDataset
+    from gigapose_tpu.pipeline.runner import CoarseRunner
+    from gigapose_tpu.utils.config import load_config
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    # hydra-style group selection: model=small swaps the model group file
+    group_sel = [o for o in overrides if o.startswith("model=")]
+    cfg = load_config("test", [o for o in overrides if not o.startswith("model=")])
+    if group_sel:
+        from gigapose_tpu.utils.config import CONFIG_DIR, _deep_merge, Config
+        import yaml
+
+        name = group_sel[0].split("=", 1)[1]
+        with open(osp.join(CONFIG_DIR, "model", f"{name}.yaml")) as f:
+            cfg = Config(_deep_merge(cfg, {"model": yaml.safe_load(f)}))
+
+    ds = cfg.test_dataset_name
+    assert ds, "test_dataset_name=... is required"
+    root = osp.join(cfg.machine.root_dir, "datasets")
+    save_dir = cfg.get("save_dir") or osp.join(
+        cfg.machine.root_dir, "results", f"{cfg.model.model_name}_{cfg.run_id}"
+    )
+    os.makedirs(save_dir, exist_ok=True)
+
+    est = build_estimator(cfg, tiny=bool(int(os.environ.get("GIGAPOSE_TINY", "0"))))
+    template_dir = cfg.data.template.dir if cfg.get("data") and cfg.data.template.dir else osp.join(
+        root, "templates", ds
+    )
+    runner = CoarseRunner.onboard(
+        est,
+        template_dir=template_dir,
+        save_dir=save_dir,
+        dataset_name=ds,
+        num_templates=cfg.data.template.num_templates if cfg.get("data") else None,
+        scale_factor=cfg.data.template.scale_factor if cfg.get("data") else 1.0,
+    )
+    dataset = InferenceDataset(
+        root_dir=root, dataset_name=ds, test_setting=cfg.test_setting,
+        depth_scale=cfg.data.depth_scale if cfg.get("data") else 10.0,
+    )
+    paths = runner.run(
+        dataset,
+        test_setting=cfg.test_setting,
+        model_name=cfg.model.model_name,
+        run_id=cfg.run_id,
+        max_images=cfg.get("max_images"),
+    )
+    print("Wrote:", *paths, sep="\n  ")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""End-to-end CLI test: python test.py on the synthetic BOP fixture with tiny
+nets — exercises config loading, template onboarding from disk, detection
+decoding, the jitted pipeline, localization filtering, and csv merging."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests import synthetic_bop
+
+
+def test_cli_coarse_end_to_end(tmp_path, monkeypatch):
+    root = synthetic_bop.build(str(tmp_path))
+    monkeypatch.setenv("GIGAPOSE_TINY", "1")
+
+    import test as test_cli
+
+    test_cli.main(
+        [
+            f"machine.root_dir={root}",
+            "test_dataset_name=tudl",
+            "run_id=fixture",
+            "data.template.num_templates=8",
+        ]
+    )
+    from gigapose_tpu.dataloader import bop_io
+
+    pred_dir = os.path.join(root, "results", "large_fixture", "predictions")
+    csvs = [f for f in os.listdir(pred_dir) if f.endswith(".csv")]
+    assert any("MultiHypothesis" in c for c in csvs)
+    top1 = bop_io.load_bop_csv(
+        os.path.join(pred_dir, "large-pbrreal-rgb-mmodel_tudl-test_fixture.csv")
+    )
+    assert len(top1) == 1  # one target instance
+    r = top1[0]
+    assert r["scene_id"] == 1 and r["im_id"] == 0 and r["obj_id"] == 1
+    assert np.isfinite(r["R"]).all() and np.isfinite(r["t"]).all()
+    # runtime protocol: detection_time + batch time > detection_time alone
+    assert r["time"] > 0.12
+    topk = bop_io.load_bop_csv(
+        os.path.join(
+            pred_dir, "large-pbrreal-rgb-mmodel_tudl-test_fixtureMultiHypothesis.csv"
+        ),
+        extra_column="instance_id",
+    )
+    assert len(topk) == 5  # k hypotheses for the single instance
