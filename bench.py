@@ -35,19 +35,21 @@ def main():
 
     from __graft_entry__ import _coarse_setup
 
+    use_pallas = os.environ.get("GIGAPOSE_BENCH_PALLAS", "0") == "1"
     fn, (ae_params, ist_vars, store, batch) = _coarse_setup(
-        model, B=B, V=162, npat=16, img=224
+        model, B=B, V=162, npat=16, img=224, use_pallas=use_pallas
     )
-    # scale batch
     jfn = jax.jit(fn)
 
     out = jfn(ae_params, ist_vars, store, batch)
-    jax.block_until_ready(out)  # compile + warmup
+    _ = np.asarray(out.poses)  # compile + warmup; host fetch forces completion
 
+    # NOTE: on the axon remote backend block_until_ready does not actually
+    # block; a host fetch of the final output is the only reliable fence.
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jfn(ae_params, ist_vars, store, batch)
-    jax.block_until_ready(out)
+    _ = np.asarray(out.poses)
     dt = time.perf_counter() - t0
 
     crops_per_sec = B * iters / dt

@@ -1,0 +1,208 @@
+"""Fused Pallas TPU kernel for template retrieval.
+
+The XLA path (ops/matching.py) materializes the (B, N, P, P) similarity and
+a per-batch (B, N, P, C) gather of the template store — both HBM-bandwidth
+bound. This kernel fuses the whole per-(detection, template) pipeline into
+one VMEM-resident tile program:
+
+    grid (B, N); step (b, n):
+        tar tile   (P, C)  <- tar_feat[b]                     [VMEM]
+        src tile   (P, C)  <- store_feats[labels[b], n]       [VMEM, HBM-resident
+                                                               store indexed via
+                                                               scalar prefetch]
+        sim        (P, P)  = tar @ src^T                      [MXU]
+        masking / threshold / bidirectional argmax / cycle
+        consistency (one-hot matmul gather, MXU) / per-template
+        averaged score                                        [VPU+MXU]
+
+so the P x P similarity never touches HBM and the template store is never
+copied per batch. Outputs are the per-template scores + matched indices the
+top-k / RANSAC stages consume (tiny: O(B x N x P)).
+
+Semantics are bit-identical to ops/matching.match_templates (which remains
+the reference implementation and the fallback on CPU); tests compare the two.
+Feature contract: both inputs L2-normalized (AENet output and the template
+store are), in any float dtype — accumulation is f32 on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _match_kernel(
+    labels_ref,  # scalar prefetch: (B,) int32
+    tar_ref,  # (1, P, C) VMEM
+    tar_mask_ref,  # (1, P) VMEM
+    src_ref,  # (1, 1, P, C) VMEM <- store[label, n]
+    src_mask_ref,  # (1, 1, P) VMEM
+    score_ref,  # out (1, 1) sim_avg
+    idx_ref,  # out (1, 1, P) int32 idx_t2s
+    spts_ref,  # out (1, 1, P) f32 score_t2s
+    valid_ref,  # out (1, 1, P) int32 mask_all
+    *,
+    sim_threshold: float,
+    patch_threshold: int,
+    num_patches: int,
+):
+    P = tar_ref.shape[1]
+    tar = tar_ref[0]  # (P, C)
+    src = src_ref[0, 0]  # (P, C)
+    tar_m = tar_mask_ref[0].astype(jnp.float32)  # (P,)
+    src_m = src_mask_ref[0, 0].astype(jnp.float32)  # (P,)
+
+    sim = jax.lax.dot_general(
+        tar,
+        src,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (P_t, P_s)
+    sim = sim * tar_m[:, None] * src_m[None, :]
+    sim = jnp.where(sim < sim_threshold, 0.0, sim)
+
+    score_t2s = jnp.max(sim, axis=1)  # (P,)
+    idx_t2s = jnp.argmax(sim, axis=1).astype(jnp.int32)
+    score_s2t = jnp.max(sim, axis=0)  # (P,)
+    idx_s2t = jnp.argmax(sim, axis=0).astype(jnp.int32)
+
+    mask_sim = score_t2s >= sim_threshold
+
+    # cycle consistency via one-hot gather on the MXU:
+    # onehot[t, j] = (idx_t2s[t] == j); row t of (onehot @ v) = v[idx_t2s[t]]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    onehot = (idx_t2s[:, None] == col_ids).astype(jnp.float32)
+    idx_cycle = jax.lax.dot_general(
+        onehot,
+        idx_s2t.astype(jnp.float32)[:, None],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, 0].astype(jnp.int32)
+    sim_cycle = jax.lax.dot_general(
+        onehot,
+        score_s2t[:, None],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+    src_m_at_t2s = jax.lax.dot_general(
+        onehot,
+        src_m[:, None],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, 0]
+
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
+    dx = (idx_cycle % num_patches - t_ids % num_patches).astype(jnp.float32)
+    dy = (idx_cycle // num_patches - t_ids // num_patches).astype(jnp.float32)
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    mask_cycle = (dist <= patch_threshold) & (sim_cycle >= sim_threshold)
+
+    mask_nonzero = (
+        (tar_m > 0) & (src_m_at_t2s > 0) & (idx_s2t != 0) & (idx_t2s != 0)
+    )
+    mask_all = mask_sim & mask_cycle & mask_nonzero
+
+    total = jnp.sum(score_t2s * mask_all.astype(jnp.float32))
+    any_valid = jnp.sum(mask_all.astype(jnp.int32)) > 0
+    score_ref[0, 0] = jnp.where(any_valid, total / (num_patches**2), 0.0)
+    idx_ref[0, 0] = idx_t2s
+    spts_ref[0, 0] = score_t2s
+    valid_ref[0, 0] = mask_all.astype(jnp.int32)
+
+
+def pallas_match_scores(
+    tar_feat: jnp.ndarray,  # (B, P, C) L2-normalized query features
+    store_feats: jnp.ndarray,  # (O, V, P, C) L2-normalized template store
+    tar_mask: jnp.ndarray,  # (B, P)
+    store_masks: jnp.ndarray,  # (O, V, P)
+    labels: jnp.ndarray,  # (B,) int32 0-based object index
+    sim_threshold: float = 0.5,
+    patch_threshold: int = 3,
+    num_patches: int = 16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-(detection, template-view) matching. Returns
+    (sim_avg (B, V), idx_t2s (B, V, P), score_t2s (B, V, P), valid (B, V, P))."""
+    B, P, C = tar_feat.shape
+    O, V = store_feats.shape[:2]
+    kernel = functools.partial(
+        _match_kernel,
+        sim_threshold=sim_threshold,
+        patch_threshold=patch_threshold,
+        num_patches=num_patches,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, V),
+        in_specs=[
+            pl.BlockSpec((1, P, C), lambda b, n, labels: (b, 0, 0)),
+            pl.BlockSpec((1, P), lambda b, n, labels: (b, 0)),
+            pl.BlockSpec((1, 1, P, C), lambda b, n, labels: (labels[b], n, 0, 0)),
+            pl.BlockSpec((1, 1, P), lambda b, n, labels: (labels[b], n, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda b, n, labels: (b, n)),
+            pl.BlockSpec((1, 1, P), lambda b, n, labels: (b, n, 0)),
+            pl.BlockSpec((1, 1, P), lambda b, n, labels: (b, n, 0)),
+            pl.BlockSpec((1, 1, P), lambda b, n, labels: (b, n, 0)),
+        ],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, V), jnp.float32),
+        jax.ShapeDtypeStruct((B, V, P), jnp.int32),
+        jax.ShapeDtypeStruct((B, V, P), jnp.float32),
+        jax.ShapeDtypeStruct((B, V, P), jnp.int32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(labels.astype(jnp.int32), tar_feat, tar_mask, store_feats, store_masks)
+
+
+def pallas_match_templates(
+    tar_feat: jnp.ndarray,
+    store_feats: jnp.ndarray,
+    tar_mask: jnp.ndarray,
+    store_masks: jnp.ndarray,
+    labels: jnp.ndarray,
+    k: int = 5,
+    sim_threshold: float = 0.5,
+    patch_threshold: int = 3,
+    num_patches: int = 16,
+    interpret: bool = False,
+):
+    """Drop-in for ops.matching.match_templates but reading the store
+    directly (no per-batch gather). Returns the same MatchResult."""
+    from gigapose_tpu.ops.gather import patch_index_to_location
+    from gigapose_tpu.ops.matching import MatchResult
+
+    B, P, _ = tar_feat.shape
+    sim_avg, idx_t2s, score_t2s, valid = pallas_match_scores(
+        tar_feat, store_feats, tar_mask, store_masks, labels,
+        sim_threshold, patch_threshold, num_patches, interpret=interpret,
+    )
+    scores, ids = jax.lax.top_k(sim_avg, k)
+    take = lambda a: jnp.take_along_axis(a, ids[..., None], axis=1)
+    sel_valid = take(valid).astype(bool)
+    sel_spts = take(score_t2s)
+    sel_src = patch_index_to_location(take(idx_t2s), num_patches)
+    grid = patch_index_to_location(jnp.arange(P), num_patches)
+    tar_pts = jnp.where(
+        sel_valid[..., None], jnp.broadcast_to(grid, (B, k, P, 2)), -1.0
+    )
+    src_pts = jnp.where(sel_valid[..., None], sel_src, -1.0)
+    return MatchResult(
+        ids=ids.astype(jnp.int32),
+        scores=scores,
+        score_pts=sel_spts,
+        src_pts=src_pts,
+        tar_pts=tar_pts,
+        valid=sel_valid,
+    )

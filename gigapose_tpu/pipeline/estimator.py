@@ -70,6 +70,9 @@ class EstimatorConfig:
     patch_size: int = 14
     num_patches: int = 16
     sort_by_inliers: bool = True  # ref: gigaPose.py:586-594
+    # fused Pallas matching kernel (TPU): template store stays HBM-resident,
+    # the (P, P) similarity never leaves VMEM (ops/pallas_matching.py)
+    use_pallas_matching: bool = False
 
 
 def coarse_forward(
@@ -89,21 +92,34 @@ def coarse_forward(
     tar_ae = ae_net.apply(ae_params, batch.crops)  # (B, P, C)
     tar_ist = ist_net.apply(ist_vars, batch.crops, method=ist_net.features)
 
-    # ---- gather this batch's objects' template data
-    src_ae = store.ae_features[labels]  # (B, V, P, C)
-    src_masks = store.masks[labels]  # (B, V, P)
-
     # ---- step 1: retrieval + correspondences (ref: matching.py:188-316)
-    match = match_templates(
-        tar_ae.astype(src_ae.dtype),
-        src_ae,
-        batch.masks,
-        src_masks,
-        k=cfg.k,
-        sim_threshold=cfg.sim_threshold,
-        patch_threshold=cfg.patch_threshold,
-        num_patches=cfg.num_patches,
-    )
+    if cfg.use_pallas_matching:
+        from gigapose_tpu.ops.pallas_matching import pallas_match_templates
+
+        match = pallas_match_templates(
+            tar_ae.astype(store.ae_features.dtype),
+            store.ae_features,
+            batch.masks,
+            store.masks,
+            labels,
+            k=cfg.k,
+            sim_threshold=cfg.sim_threshold,
+            patch_threshold=cfg.patch_threshold,
+            num_patches=cfg.num_patches,
+        )
+    else:
+        src_ae = store.ae_features[labels]  # (B, V, P, C)
+        src_masks = store.masks[labels]  # (B, V, P)
+        match = match_templates(
+            tar_ae.astype(src_ae.dtype),
+            src_ae,
+            batch.masks,
+            src_masks,
+            k=cfg.k,
+            sim_threshold=cfg.sim_threshold,
+            patch_threshold=cfg.patch_threshold,
+            num_patches=cfg.num_patches,
+        )
 
     # ---- step 2: per-correspondence scale/in-plane (ref: gigaPose.py:538-575)
     src_ist_all = store.ist_features[labels]  # (B, V, P, C2)
