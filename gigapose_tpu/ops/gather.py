@@ -42,7 +42,9 @@ def gather_patches(
     num_patches = int(round(P ** 0.5))
     x = points[..., 0].astype(jnp.int32)
     y = points[..., 1].astype(jnp.int32)
-    valid = (x >= 0) & (y >= 0)
-    idx = jnp.where(valid, y * num_patches + x, 0)
+    valid = (x >= 0) & (y >= 0) & (x < num_patches) & (y < num_patches)
+    # clamp so a grid-size mismatch can never read out of bounds (jax fills
+    # OOB gathers with garbage/NaN); mismatched points are masked invalid
+    idx = jnp.where(valid, y * num_patches + x, 0).clip(0, P - 1)
     out = jnp.take_along_axis(features, idx[..., None], axis=1)
     return out, valid

@@ -54,3 +54,12 @@ def shard_batch(tree, mesh: Mesh):
 
 def pad_to_multiple(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
+
+
+def best_dp_mesh(batch_size: int) -> Optional[Mesh]:
+    """Largest dp mesh whose size divides batch_size (None when that is 1
+    device — plain jit is simpler and equivalent)."""
+    n = jax.device_count()
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n) if n > 1 else None

@@ -91,6 +91,11 @@ def coarse_forward(
     # ---- features of the query crops (the ViT hot loop)
     tar_ae = ae_net.apply(ae_params, batch.crops)  # (B, P, C)
     tar_ist = ist_net.apply(ist_vars, batch.crops, method=ist_net.features)
+    assert tar_ae.shape[1] == P and tar_ist.shape[1] == P, (
+        f"feature grids must match the {cfg.num_patches}x{cfg.num_patches} patch "
+        f"convention; got AE P={tar_ae.shape[1]}, IST P={tar_ist.shape[1]} "
+        "(check the IST backbone input_size: stride is /16, so 16*num_patches)"
+    )
 
     # ---- step 1: retrieval + correspondences (ref: matching.py:188-316)
     if cfg.use_pallas_matching:

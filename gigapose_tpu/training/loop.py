@@ -1,0 +1,100 @@
+"""Training loop: host loader -> device prep -> pjit'd step -> metrics/ckpt.
+
+The reference's PL Trainer + LightningModule orchestration (train.py:20-104,
+gigaPose.py:262-341) becomes this explicit loop. Data parallelism: params and
+optimizer state replicated over the dp mesh, batch sharded on its leading
+axis; XLA inserts the gradient all-reduce (the DDP/NCCL equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gigapose_tpu.dataloader.train_set import HostTrainRecords, prepare_train_batch
+from gigapose_tpu.training import checkpoint as ckpt_lib
+from gigapose_tpu.training.state import OptimConfig, TrainState, create_train_state, train_step
+from gigapose_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class FitConfig:
+    max_steps: int = 1000
+    log_every: int = 100
+    checkpoint_every: int = 1000
+    ckpt_dir: Optional[str] = None
+
+
+def fit(
+    ae_net,
+    ist_net,
+    loader: Iterable[HostTrainRecords],
+    optim_cfg: OptimConfig = OptimConfig(),
+    fit_cfg: FitConfig = FitConfig(),
+    mesh: Optional[Mesh] = None,
+    image_size: int = 224,
+    seed: int = 2023,
+    metrics_hook: Optional[Callable] = None,
+    resume: bool = False,
+) -> TrainState:
+    state, tx = create_train_state(
+        ae_net, ist_net, jax.random.PRNGKey(seed), optim_cfg, image_size=image_size
+    )
+    start_step = 0
+    if resume and fit_cfg.ckpt_dir:
+        last = ckpt_lib.latest_checkpoint(fit_cfg.ckpt_dir)
+        if last:
+            state = ckpt_lib.restore_checkpoint(last, state)
+            start_step = int(state.step)
+            logger.info(f"Resumed from {last} (step {start_step})")
+
+    step_fn = functools.partial(train_step, ae_net, ist_net, tx, optim_cfg)
+    prep_fn = jax.jit(prepare_train_batch, static_argnames=("target_size", "patch_size"))
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        dp = NamedSharding(mesh, P("dp"))
+        state = jax.device_put(state, repl)
+        step_fn = jax.jit(step_fn, out_shardings=(repl, repl))
+        put_batch = lambda b: jax.device_put(b, dp)
+    else:
+        step_fn = jax.jit(step_fn)
+        put_batch = lambda b: b
+
+    def cycle(it: Iterable):
+        """Epoch-cycle the loader until max_steps (the reference trains on
+        infinite webdataset streams; finite sources just restart)."""
+        while True:
+            empty = True
+            for x in it:
+                empty = False
+                yield x
+            if empty:
+                return
+
+    t0 = time.perf_counter()
+    step = start_step
+    for rec in cycle(loader):
+        if step >= fit_cfg.max_steps:
+            break
+        batch = put_batch(prep_fn(rec))
+        state, metrics = step_fn(state, batch)
+        step += 1
+        if step % fit_cfg.log_every == 0 or step == 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = (step - start_step) / (time.perf_counter() - t0)
+            logger.info(f"step {step}: {m} ({rate:.2f} it/s)")
+            if metrics_hook:
+                metrics_hook(step, m)
+        if fit_cfg.ckpt_dir and step % fit_cfg.checkpoint_every == 0:
+            ckpt_lib.save_checkpoint(fit_cfg.ckpt_dir, jax.device_get(state), step)
+    if fit_cfg.ckpt_dir:
+        ckpt_lib.save_checkpoint(fit_cfg.ckpt_dir, jax.device_get(state), step)
+    return state

@@ -5,14 +5,20 @@ from __future__ import annotations
 import logging
 import sys
 
+_CONFIGURED = False
+
 
 def get_logger(name: str) -> logging.Logger:
-    logger = logging.getLogger(name)
-    if not logger.handlers and not logging.getLogger().handlers:
-        h = logging.StreamHandler(sys.stderr)
-        h.setFormatter(
-            logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
-        )
-        logger.addHandler(h)
-        logger.setLevel(logging.INFO)
-    return logger
+    """Module logger propagating to a once-configured root stderr handler."""
+    global _CONFIGURED
+    if not _CONFIGURED:
+        root = logging.getLogger()
+        if not root.handlers:
+            h = logging.StreamHandler(sys.stderr)
+            h.setFormatter(
+                logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
+            )
+            root.addHandler(h)
+            root.setLevel(logging.INFO)
+        _CONFIGURED = True
+    return logging.getLogger(name)

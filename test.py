@@ -34,7 +34,7 @@ def build_estimator(cfg, tiny: bool = False):
         ist = ISTNet(
             backbone=ISTBackbone(
                 initial_dim=16, block_dims=(16, 16, 24, 32),
-                descriptor_size=32, input_size=64,
+                descriptor_size=32, input_size=256,
             ),
             regressor=Regressor(hidden_dim=32),
         )

@@ -72,4 +72,35 @@ def build(root: str, num_templates: int = 8, img_hw=(480, 640), obj_px=120):
         json.dump([det], f)
     with open(osp.join(datasets, DS, "test_targets_bop19.json"), "w") as f:
         json.dump([{"scene_id": 1, "im_id": 0, "obj_id": OBJ_ID, "inst_count": 1}], f)
+
+    # --- a small training split (dir layout with depth + masks + gt)
+    tr = osp.join(datasets, DS, "train_pbr", "000001")
+    os.makedirs(osp.join(tr, "rgb"), exist_ok=True)
+    os.makedirs(osp.join(tr, "depth"), exist_ok=True)
+    os.makedirs(osp.join(tr, "mask_visib"), exist_ok=True)
+    cams, gts, infos = {}, {}, {}
+    y0c, x0c = (H - obj_px) // 2, (W - obj_px) // 2
+    for im in range(3):
+        img = (rng.uniform(0, 0.15, size=(H, W, 3)) * 255).astype(np.uint8)
+        img[y0c : y0c + obj_px, x0c : x0c + obj_px] = texture
+        Image.fromarray(img).save(osp.join(tr, "rgb", f"{im:06d}.png"))
+        depth = np.zeros((H, W), np.uint16)
+        depth[y0c : y0c + obj_px, x0c : x0c + obj_px] = 400  # mm
+        Image.fromarray(depth).save(osp.join(tr, "depth", f"{im:06d}.png"))
+        m = np.zeros((H, W), np.uint8)
+        m[y0c : y0c + obj_px, x0c : x0c + obj_px] = 255
+        Image.fromarray(m).save(osp.join(tr, "mask_visib", f"{im:06d}_000000.png"))
+        cams[str(im)] = {"cam_K": K, "depth_scale": 1.0}
+        gts[str(im)] = [
+            {"obj_id": OBJ_ID,
+             "cam_R_m2c": np.eye(3).reshape(-1).tolist(),
+             "cam_t_m2c": [0.0, 0.0, 400.0]}
+        ]
+        infos[str(im)] = [
+            {"bbox_visib": [x0c, y0c, obj_px, obj_px], "visib_fract": 1.0}
+        ]
+    for name, data in [("scene_camera", cams), ("scene_gt", gts),
+                       ("scene_gt_info", infos)]:
+        with open(osp.join(tr, f"{name}.json"), "w") as f:
+            json.dump(data, f)
     return root

@@ -1,0 +1,101 @@
+"""Training CLI (the reference's train.py:20-104, same override surface).
+
+Usage:
+    python train.py train_dataset_name=<ds> machine.root_dir=<root> [key=value]
+
+Builds the host TrainLoader over BOP-format scenes (tar shards or dirs) and
+templates, then runs the data-parallel optax loop with orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import sys
+
+
+def main(argv=None):
+    import jax
+
+    from gigapose_tpu.dataloader.scene import DirSceneSource, TarSceneSource
+    from gigapose_tpu.dataloader.train_set import TrainLoader
+    from gigapose_tpu.parallel.mesh import best_dp_mesh
+    from gigapose_tpu.training.loop import FitConfig, fit
+    from gigapose_tpu.training.state import OptimConfig
+    from gigapose_tpu.utils.config import load_config
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = load_config("train", overrides)
+
+    root = osp.join(cfg.machine.root_dir, "datasets")
+    ds = cfg.get("train_dataset_name") or ("gso" if cfg.train_dataset_id == 0 else "shapenet")
+    save_dir = cfg.get("save_dir") or osp.join(
+        cfg.machine.root_dir, "results", f"{cfg.model.model_name}_{cfg.run_id}"
+    )
+    os.makedirs(save_dir, exist_ok=True)
+
+    split_dir = osp.join(root, ds, cfg.get("train_split") or "train_pbr")
+    has_tar = osp.isdir(split_dir) and any(
+        f.endswith(".tar") for f in os.listdir(split_dir)
+    )
+    source = (
+        TarSceneSource(split_dir, depth_scale=cfg.data.depth_scale)
+        if has_tar
+        else DirSceneSource(split_dir)
+    )
+    loader = TrainLoader(
+        scene_source=source,
+        template_dir=osp.join(root, "templates", ds),
+        batch_size=cfg.machine.batch_size,
+        template_scale_factor=cfg.data.template.scale_factor,
+        seed=cfg.seed,
+    )
+
+    tiny = bool(int(os.environ.get("GIGAPOSE_TINY", "0")))
+    if tiny:
+        from gigapose_tpu.models.ae_net import AENet
+        from gigapose_tpu.models.ist_net import ISTBackbone, ISTNet, Regressor
+
+        ae = AENet(model_name="vit_tiny_test")
+        ist = ISTNet(
+            backbone=ISTBackbone(
+                initial_dim=8, block_dims=(8, 8, 12, 16), descriptor_size=16,
+                input_size=256,
+            ),
+            regressor=Regressor(hidden_dim=16),
+        )
+    else:
+        from gigapose_tpu.models.ae_net import AENet
+        from gigapose_tpu.models.ist_net import default_ist_net
+
+        ae = AENet(model_name=cfg.model.ae_net.backbone)
+        ist = default_ist_net(cfg.model.ist_net.descriptor_size)
+
+    optim = OptimConfig(
+        ae_lr=cfg.model.optim.ae_lr,
+        ist_lr=cfg.model.optim.ist_lr,
+        weight_decay=cfg.model.optim.weight_decay,
+        warm_up_steps=cfg.model.optim.warm_up_steps,
+        nets_to_train=cfg.model.optim.nets_to_train,
+    )
+    mesh = best_dp_mesh(cfg.machine.batch_size)
+    state = fit(
+        ae,
+        ist,
+        loader,
+        optim_cfg=optim,
+        fit_cfg=FitConfig(
+            max_steps=cfg.max_steps,
+            log_every=cfg.log_every,
+            checkpoint_every=cfg.checkpoint_every,
+            ckpt_dir=osp.join(save_dir, "checkpoints"),
+        ),
+        mesh=mesh,
+        seed=cfg.seed,
+        resume=bool(cfg.get("resume")),
+    )
+    print(f"Training done at step {int(state.step)}; checkpoints in {save_dir}/checkpoints")
+
+
+if __name__ == "__main__":
+    main()
