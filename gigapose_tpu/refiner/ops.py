@@ -1,0 +1,196 @@
+"""Render-and-compare geometry ops, pure JAX.
+
+Rebuild of the megapose/cosypose math the refiner needs (reference:
+src/megapose/lib3d/camera_geometry.py:41-115, cropping.py:52-165,
+cosypose_ops.py:32-60, rotations.py:24-40, transform_ops.py:100-130):
+robust projection, deepim crop boxes, crop-camera intrinsics, ortho6d
+rotations, pose normalization, and the reference-point pose update.
+
+All functions are batched, fixed-shape, jit/vmap-safe; image cropping is a
+bilinear inverse warp (the reference uses torchvision roi_align; both are
+box-crop + resample — we train our own weights against this sampler).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax.numpy as jnp
+
+einsum = partial(jnp.einsum, precision="highest")
+
+
+def project_points_robust(points: jnp.ndarray, K: jnp.ndarray, TCO: jnp.ndarray,
+                          z_min: float = 0.1) -> jnp.ndarray:
+    """(B, N, 3) object points -> (B, N, 2) pixels with z clamped >= z_min."""
+    p_cam = einsum("bij,bnj->bni", TCO[:, :3, :3], points) + TCO[:, None, :3, 3]
+    suv = einsum("bij,bnj->bni", K, p_cam)
+    z = jnp.maximum(suv[..., 2:3], z_min)
+    return suv[..., :2] / z
+
+
+def boxes_from_uv(uv: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, 2) -> (B, 4) xyxy."""
+    return jnp.concatenate(
+        [jnp.min(uv, axis=1), jnp.max(uv, axis=1)], axis=-1
+    )
+
+
+def deepim_boxes(
+    rend_center_uv: jnp.ndarray,  # (B, 1, 2) reference-point projection
+    obs_boxes: jnp.ndarray,  # (B, 4)
+    rend_boxes: jnp.ndarray,  # (B, 4)
+    im_size: Tuple[int, int],
+    lamb: float = 1.4,
+    clamp: bool = False,
+) -> jnp.ndarray:
+    """Square crop box centered on the reference point covering both the
+    observed and rendered extents, enlarged by lamb, aspect matched to the
+    render size (ref: deepim_boxes, cropping.py:52-95)."""
+    h, w = im_size
+    u, v = rend_center_uv[:, 0, 0], rend_center_uv[:, 0, 1]
+    boxes = jnp.stack([obs_boxes, rend_boxes], axis=1)  # (B, 2, 4)
+    dx = jnp.maximum(
+        jnp.abs(boxes[..., 0] - u[:, None]), jnp.abs(boxes[..., 2] - u[:, None])
+    ).max(axis=1)
+    dy = jnp.maximum(
+        jnp.abs(boxes[..., 1] - v[:, None]), jnp.abs(boxes[..., 3] - v[:, None])
+    ).max(axis=1)
+    # aspect ratio of the render target (square render -> max of dx, dy)
+    aspect = w / h
+    xdist = jnp.maximum(dx, dy * aspect) * lamb
+    ydist = jnp.maximum(dx / aspect, dy) * lamb
+    box = jnp.stack([u - xdist, v - ydist, u + xdist, v + ydist], axis=-1)
+    if clamp:
+        box = jnp.clip(
+            box, jnp.array([0.0, 0.0, 0.0, 0.0]), jnp.array([w, h, w, h])
+        )
+    return box
+
+
+def get_K_crop_resize(
+    K: jnp.ndarray, boxes: jnp.ndarray, orig_size, crop_resize
+) -> jnp.ndarray:
+    """Intrinsics of the fictive camera of a crop+resize (ref:
+    camera_geometry.py:70-115)."""
+    final_height, final_width = crop_resize
+    final_width, final_height = max(crop_resize), min(crop_resize)
+    crop_w = boxes[:, 2] - boxes[:, 0]
+    crop_h = boxes[:, 3] - boxes[:, 1]
+    cj = (boxes[:, 0] + boxes[:, 2]) / 2
+    ci = (boxes[:, 1] + boxes[:, 3]) / 2
+    cx = K[:, 0, 2] + (crop_w - 1) / 2 - cj
+    cy = K[:, 1, 2] + (crop_h - 1) / 2 - ci
+    center_x = (crop_w - 1) / 2
+    center_y = (crop_h - 1) / 2
+    scale_x = final_width / crop_w
+    scale_y = final_height / crop_h
+    scaled_center_x = (final_width - 1) / 2
+    scaled_center_y = (final_height - 1) / 2
+    fx = scale_x * K[:, 0, 0]
+    fy = scale_y * K[:, 1, 1]
+    cx = scaled_center_x + scale_x * (cx - center_x)
+    cy = scaled_center_y + scale_y * (cy - center_y)
+    out = jnp.zeros_like(K)
+    out = out.at[:, 0, 0].set(fx)
+    out = out.at[:, 1, 1].set(fy)
+    out = out.at[:, 0, 2].set(cx)
+    out = out.at[:, 1, 2].set(cy)
+    out = out.at[:, 2, 2].set(1.0)
+    return out
+
+
+def crop_images_to_boxes(
+    images: jnp.ndarray, boxes: jnp.ndarray, output_size: Tuple[int, int]
+) -> jnp.ndarray:
+    """(B, C, H, W) bilinear crop-resize to output_size from xyxy boxes
+    (the roi_align equivalent; out-of-image samples read 0)."""
+    B, C, H, W = images.shape
+    oh, ow = output_size
+    ys = jnp.linspace(0.0, 1.0, oh, endpoint=True)
+    xs = jnp.linspace(0.0, 1.0, ow, endpoint=True)
+    # sample centers spanning the box (roi_align convention: edges at box
+    # corners, samples at bin centers)
+    def grid(lo, hi, n, t):
+        # bin centers: lo + (i + .5) * (hi - lo) / n
+        return lo[:, None] + (jnp.arange(n) + 0.5)[None, :] * (hi - lo)[:, None] / n
+
+    gx = grid(boxes[:, 0], boxes[:, 2], ow, xs)  # (B, ow)
+    gy = grid(boxes[:, 1], boxes[:, 3], oh, ys)  # (B, oh)
+    # bilinear sample at (gy, gx) grid
+    x0 = jnp.floor(gx - 0.5)
+    y0 = jnp.floor(gy - 0.5)
+    wx = (gx - 0.5) - x0
+    wy = (gy - 0.5) - y0
+
+    def take(yi, xi):
+        yi_c = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
+        xi_c = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
+        inb = ((yi >= 0) & (yi < H))[:, None, :, None] * (
+            (xi >= 0) & (xi < W)
+        )[:, None, None, :]
+        flat = images.reshape(B, C, H * W)
+        idx = (yi_c[:, :, None] * W + xi_c[:, None, :]).reshape(B, 1, -1)
+        vals = jnp.take_along_axis(
+            flat, jnp.broadcast_to(idx, (B, C, idx.shape[-1])), axis=2
+        ).reshape(B, C, oh, ow)
+        return vals * inb
+
+    v00 = take(y0, x0)
+    v01 = take(y0, x0 + 1)
+    v10 = take(y0 + 1, x0)
+    v11 = take(y0 + 1, x0 + 1)
+    wy_ = wy[:, None, :, None]
+    wx_ = wx[:, None, None, :]
+    return (
+        v00 * (1 - wy_) * (1 - wx_)
+        + v01 * (1 - wy_) * wx_
+        + v10 * wy_ * (1 - wx_)
+        + v11 * wy_ * wx_
+    )
+
+
+def rotation_from_ortho6d(o6d: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) -> (..., 3, 3) via Gram-Schmidt (Zhou et al. CVPR19; ref:
+    rotations.py:24-40). Columns are the orthonormalized axes."""
+    x = o6d[..., 0:3]
+    x = x / jnp.linalg.norm(x, axis=-1, keepdims=True).clip(1e-8)
+    z = jnp.cross(x, o6d[..., 3:6])
+    z = z / jnp.linalg.norm(z, axis=-1, keepdims=True).clip(1e-8)
+    y = jnp.cross(z, x)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def normalize_T(T: jnp.ndarray) -> jnp.ndarray:
+    """Re-orthonormalize the rotation from its first two columns (ref:
+    normalize_T -> compute_transform_from_pose9d, transform_ops.py:100-130)."""
+    o6d = jnp.concatenate([T[..., :3, 0], T[..., :3, 1]], axis=-1)
+    R = rotation_from_ortho6d(o6d)
+    out = jnp.zeros_like(T)
+    out = out.at[..., :3, :3].set(R)
+    out = out.at[..., :3, 3].set(T[..., :3, 3])
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+def pose_update_with_reference_point(
+    TCO: jnp.ndarray,
+    K: jnp.ndarray,
+    vxvyvz: jnp.ndarray,
+    dR: jnp.ndarray,
+    tCR: jnp.ndarray,
+) -> jnp.ndarray:
+    """The megapose pose update (ref: cosypose_ops.py:32-60): image-space
+    offsets + relative depth move the reference point; dR rotates about it."""
+    zsrc = tCR[:, 2:3]
+    ztgt = vxvyvz[:, 2:3] * zsrc
+    fxfy = jnp.stack([K[:, 0, 0], K[:, 1, 1]], axis=-1)
+    xy = (vxvyvz[:, :2] / fxfy + tCR[:, :2] / zsrc) * ztgt
+    tCR_out = jnp.concatenate([xy, ztgt], axis=-1)
+    tCO_out = (
+        einsum("bij,bj->bi", dR, TCO[:, :3, 3] - tCR) + tCR_out
+    )
+    out = TCO.at[:, :3, 3].set(tCO_out)
+    out = out.at[:, :3, :3].set(einsum("bij,bjk->bik", dR, TCO[:, :3, :3]))
+    return out

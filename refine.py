@@ -1,0 +1,83 @@
+"""Refinement CLI (the reference's refine.py:20-78, same override surface).
+
+Usage:
+    python refine.py test_dataset_name=lmo run_id=0 [use_multiple=true] ...
+
+Finds the coarse (Multi)Hypothesis csv written by test.py, loads the CAD
+models, runs render-and-compare refinement + scoring, writes the refined csv.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import sys
+
+
+def main(argv=None):
+    from gigapose_tpu.dataloader.scene import DirSceneSource, TarSceneSource
+    from gigapose_tpu.refiner.refiner import RefinerConfig, RenderCompareRefiner
+    from gigapose_tpu.refiner.runner import find_init_pose_path, run_refinement
+    from gigapose_tpu.utils.config import load_config
+
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = load_config("test", overrides)
+    ds = cfg.test_dataset_name
+    assert ds, "test_dataset_name=... is required"
+    root = osp.join(cfg.machine.root_dir, "datasets")
+    save_dir = cfg.get("save_dir") or osp.join(
+        cfg.machine.root_dir, "results", f"{cfg.model.model_name}_{cfg.run_id}"
+    )
+    pred_dir = osp.join(save_dir, "predictions")
+    init_path = cfg.get("init_loc_path") or find_init_pose_path(
+        pred_dir, ds, cfg.model.model_name, cfg.run_id,
+        use_multiple=bool(cfg.use_multiple),
+    )
+
+    cad_name = "models_cad" if ds == "tless" else "models"
+    cad_dir = osp.join(root, ds, cad_name)
+    mesh_paths = {}
+    for f in sorted(os.listdir(cad_dir)):
+        if f.endswith((".ply", ".obj")):
+            obj_id = int("".join(c for c in osp.splitext(f)[0] if c.isdigit()) or 0)
+            mesh_paths[obj_id] = osp.join(cad_dir, f)
+
+    tiny = bool(int(os.environ.get("GIGAPOSE_TINY", "0")))
+    rcfg = RefinerConfig(
+        n_iterations=int(cfg.get("n_refine_iterations") or 5),
+        render_size=(64, 64) if tiny else (160, 160),
+        n_sample_points=8 if tiny else 500,
+    )
+    refiner = RenderCompareRefiner.create(
+        mesh_paths, config=rcfg,
+        refiner_width=8 if tiny else 64, scorer_width=8 if tiny else 32,
+    )
+    # TODO(ckpt): load trained refiner/scorer weights via orbax or torch
+    # conversion when available (ref loads megapose ckpts,
+    # src/custom_megapose/refiner_utils.py:56-116).
+
+    split_dir = osp.join(root, ds, "test")
+    has_tar = osp.isdir(split_dir) and any(
+        f.endswith(".tar") for f in os.listdir(split_dir)
+    )
+    source = (
+        TarSceneSource(split_dir, depth_scale=cfg.data.depth_scale, load_depth=False)
+        if has_tar
+        else DirSceneSource(split_dir, load_depth=False, load_masks=False)
+    )
+    paths = run_refinement(
+        refiner,
+        source,
+        init_path,
+        save_dir=save_dir,
+        dataset_name=ds,
+        model_name=cfg.model.model_name,
+        run_id=cfg.run_id,
+        max_images=cfg.get("max_images"),
+        min_score=cfg["min_score"] if "min_score" in cfg else 0.25,
+    )
+    print("Wrote:", *paths, sep="\n  ")
+
+
+if __name__ == "__main__":
+    main()

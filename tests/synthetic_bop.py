@@ -103,4 +103,11 @@ def build(root: str, num_templates: int = 8, img_hw=(480, 640), obj_px=120):
                        ("scene_gt_info", infos)]:
         with open(osp.join(tr, f"{name}.json"), "w") as f:
             json.dump(data, f)
+
+    # --- CAD model for the refiner (a small cube, meters)
+    from tests.test_rasterizer import _write_cube_ply
+
+    models = osp.join(datasets, DS, "models")
+    os.makedirs(models, exist_ok=True)
+    _write_cube_ply(osp.join(models, f"obj_{OBJ_ID:06d}.ply"), size=0.08)
     return root

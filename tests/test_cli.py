@@ -45,3 +45,27 @@ def test_cli_coarse_end_to_end(tmp_path, monkeypatch):
         extra_column="instance_id",
     )
     assert len(topk) == 5  # k hypotheses for the single instance
+
+    # --- chain the refinement CLI on the coarse output (refine.py:20-78 path)
+    import refine as refine_cli
+
+    refine_cli.main(
+        [
+            f"machine.root_dir={root}",
+            "test_dataset_name=tudl",
+            "run_id=fixture",
+            "n_refine_iterations=2",
+            "min_score=0",
+        ]
+    )
+    ref_dir = os.path.join(root, "results", "large_fixture", "predictions_refined")
+    refined = bop_io.load_bop_csv(
+        os.path.join(ref_dir, "large-pbrreal-rgb-mmodel_tudl-test_fixture.csv")
+    )
+    assert len(refined) == 1
+    rr = refined[0]
+    assert np.isfinite(rr["R"]).all() and np.isfinite(rr["t"]).all()
+    # refined runtime includes coarse time + refinement time
+    assert rr["time"] > r["time"]
+    # rotation stays orthonormal through the update chain
+    np.testing.assert_allclose(rr["R"].T @ rr["R"], np.eye(3), atol=1e-4)

@@ -1,0 +1,139 @@
+"""Refiner: op-level parity with torch transcriptions of the published math +
+an end-to-end render-and-compare smoke with the native rasterizer."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from gigapose_tpu.refiner import ops as R
+
+
+def test_ortho6d_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    o6 = rng.normal(size=(16, 6)).astype(np.float32)
+    got = np.asarray(R.rotation_from_ortho6d(jnp.asarray(o6)))
+    # transcription of the published Gram-Schmidt (rotations.py:24-40)
+    x = o6[:, :3] / np.linalg.norm(o6[:, :3], axis=1, keepdims=True)
+    z = np.cross(x, o6[:, 3:])
+    z = z / np.linalg.norm(z, axis=1, keepdims=True)
+    y = np.cross(z, x)
+    want = np.stack([x, y, z], axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # proper rotations
+    det = np.linalg.det(got)
+    np.testing.assert_allclose(det, 1.0, atol=1e-5)
+
+
+def test_pose_update_identity_is_noop():
+    rng = np.random.default_rng(1)
+    B = 8
+    TCO = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    TCO[:, :3, :3] = Rotation.random(B, random_state=2).as_matrix()
+    TCO[:, :3, 3] = rng.normal(size=(B, 3)) * 0.1
+    TCO[:, 2, 3] = np.abs(TCO[:, 2, 3]) + 0.4
+    K = np.tile(np.array([[600, 0, 320], [0, 600, 240], [0, 0, 1.0]], np.float32), (B, 1, 1))
+    tCR = TCO[:, :3, 3].copy()
+    vxvyvz = np.zeros((B, 3), np.float32)
+    vxvyvz[:, 2] = 1.0  # relative depth multiplier 1
+    out = R.pose_update_with_reference_point(
+        jnp.asarray(TCO), jnp.asarray(K), jnp.asarray(vxvyvz),
+        jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))), jnp.asarray(tCR),
+    )
+    np.testing.assert_allclose(np.asarray(out), TCO, atol=1e-5)
+
+
+def test_pose_update_moves_reference_point():
+    """vx shifts the reference point by vx/fx * z in camera x."""
+    B = 1
+    TCO = np.eye(4, dtype=np.float32)[None]
+    TCO[:, 2, 3] = 0.5
+    K = np.array([[500, 0, 320], [0, 500, 240], [0, 0, 1.0]], np.float32)[None]
+    tCR = TCO[:, :3, 3].copy()
+    v = np.array([[50.0, 0.0, 1.0]], np.float32)
+    out = np.asarray(
+        R.pose_update_with_reference_point(
+            jnp.asarray(TCO), jnp.asarray(K), jnp.asarray(v),
+            jnp.asarray(np.eye(3, dtype=np.float32)[None]), jnp.asarray(tCR),
+        )
+    )
+    np.testing.assert_allclose(out[0, 0, 3], 50 / 500 * 0.5, atol=1e-6)
+    np.testing.assert_allclose(out[0, 2, 3], 0.5, atol=1e-6)
+
+
+def test_normalize_T_reorthonormalizes():
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rotation.from_euler("xyz", [0.3, -0.2, 0.5]).as_matrix() * 1.02
+    T[:3, 3] = [0.1, -0.2, 0.6]
+    out = np.asarray(R.normalize_T(jnp.asarray(T[None])))[0]
+    RtR = out[:3, :3].T @ out[:3, :3]
+    np.testing.assert_allclose(RtR, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(out[:3, 3], T[:3, 3], atol=1e-7)
+
+
+def test_get_K_crop_matches_torch_transcription():
+    rng = np.random.default_rng(3)
+    B = 6
+    K = np.tile(np.array([[572.4, 0, 320], [0, 573.5, 240], [0, 0, 1.0]]), (B, 1, 1))
+    boxes = np.zeros((B, 4))
+    boxes[:, 0] = rng.uniform(0, 200, B)
+    boxes[:, 1] = rng.uniform(0, 100, B)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(50, 300, B)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(50, 300, B)
+    got = np.asarray(
+        R.get_K_crop_resize(jnp.asarray(K), jnp.asarray(boxes), (480, 640), (160, 160))
+    )
+    # transcription of camera_geometry.py:70-115
+    fw, fh = 160.0, 160.0
+    cw = boxes[:, 2] - boxes[:, 0]
+    ch = boxes[:, 3] - boxes[:, 1]
+    cj = (boxes[:, 0] + boxes[:, 2]) / 2
+    ci = (boxes[:, 1] + boxes[:, 3]) / 2
+    cx = K[:, 0, 2] + (cw - 1) / 2 - cj
+    cy = K[:, 1, 2] + (ch - 1) / 2 - ci
+    sx, sy = fw / cw, fh / ch
+    cx = (fw - 1) / 2 + sx * (cx - (cw - 1) / 2)
+    cy = (fh - 1) / 2 + sy * (cy - (ch - 1) / 2)
+    np.testing.assert_allclose(got[:, 0, 0], sx * K[:, 0, 0], rtol=1e-5)
+    np.testing.assert_allclose(got[:, 1, 1], sy * K[:, 1, 1], rtol=1e-5)
+    np.testing.assert_allclose(got[:, 0, 2], cx, rtol=1e-5)
+    np.testing.assert_allclose(got[:, 1, 2], cy, rtol=1e-5)
+
+
+def test_crop_images_center_crop():
+    """Cropping the full image box reproduces a plain resize; a sub-box picks
+    the right region."""
+    img = np.zeros((1, 3, 64, 64), np.float32)
+    img[:, :, 16:48, 16:48] = 1.0
+    box = np.array([[16.0, 16.0, 48.0, 48.0]])
+    out = np.asarray(R.crop_images_to_boxes(jnp.asarray(img), jnp.asarray(box), (8, 8)))
+    assert out.mean() > 0.95  # all inside the white square
+
+
+def test_render_compare_refiner_smoke(tmp_path):
+    from tests.test_rasterizer import _write_cube_ply
+    from gigapose_tpu.refiner.refiner import RenderCompareRefiner, RefinerConfig
+
+    mesh = str(tmp_path / "cube.ply")
+    _write_cube_ply(mesh, size=0.08)
+    ref = RenderCompareRefiner.create(
+        {1: mesh}, config=RefinerConfig(n_iterations=2, render_size=(64, 64),
+                                        n_sample_points=8),
+        refiner_width=8, scorer_width=8,
+    )
+    # observed image: render the cube at a GT pose with the same rasterizer
+    K = np.array([[572.4, 0, 320], [0, 573.5, 240], [0, 0, 1.0]], np.float32)
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, 3] = [0.02, -0.01, 0.5]
+    rgba, _ = ref.meshes.rasterizers[1].render(K, gt, 640, 480)
+    img = rgba[..., :3].transpose(2, 0, 1).astype(np.float32)[None] / 255.0
+    init = gt.copy()
+    init[:3, 3] += [0.01, 0.005, 0.03]
+    out, scores = ref.refine_batch(
+        img, K[None], np.array([1]), init[None], n_iterations=2
+    )
+    assert out.shape == (1, 4, 4) and np.isfinite(out).all()
+    assert 0.0 <= float(scores[0]) <= 1.0
+    # rotation stays orthonormal through updates
+    RtR = out[0, :3, :3].T @ out[0, :3, :3]
+    np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
