@@ -221,6 +221,9 @@ def prepare_train_batch(
         jnp.asarray(rec.t_K), jnp.asarray(rec.q_K), t_pose, q_pose, t_M, q_M
     )
     rel_i = relative_inplane(t_pose, q_pose)
+    from gigapose_tpu.ops.matching import downsample_mask
+
+    n_pat = target_size // patch_size
     return TrainBatch(
         src_img=normalize_rgb(t_crops[:, :3]),
         tar_img=normalize_rgb(q_crops[:, :3]),
@@ -228,4 +231,6 @@ def prepare_train_batch(
         tar_pts=kp["tar_pts"],
         rel_scale=rel_s.astype(jnp.float32),
         rel_inplane=rel_i.astype(jnp.float32),
+        src_mask=downsample_mask(t_crops[:, 3], n_pat),
+        tar_mask=downsample_mask(q_crops[:, 3], n_pat),
     )

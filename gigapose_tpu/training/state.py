@@ -42,6 +42,10 @@ class TrainBatch:
     tar_pts: jnp.ndarray  # (B, P, 2)
     rel_scale: jnp.ndarray  # (B,) GT relative scale
     rel_inplane: jnp.ndarray  # (B,) GT relative in-plane angle (radians)
+    # patch-level crop masks, used by the val/matching metric (optional for
+    # the train step itself)
+    src_mask: jnp.ndarray = None
+    tar_mask: jnp.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True)
