@@ -31,6 +31,8 @@ class FitConfig:
     log_every: int = 100
     checkpoint_every: int = 1000
     ckpt_dir: Optional[str] = None
+    val_every: int = 0  # 0 disables
+    log_dir: Optional[str] = None  # metrics.jsonl / tensorboard / vis pngs
 
 
 def fit(
@@ -44,6 +46,7 @@ def fit(
     seed: int = 2023,
     metrics_hook: Optional[Callable] = None,
     resume: bool = False,
+    val_loader: Optional[Iterable[HostTrainRecords]] = None,
 ) -> TrainState:
     state, tx = create_train_state(
         ae_net, ist_net, jax.random.PRNGKey(seed), optim_cfg, image_size=image_size
@@ -79,6 +82,37 @@ def fit(
             if empty:
                 return
 
+    mlog = None
+    if fit_cfg.log_dir:
+        from gigapose_tpu.utils.metrics import MetricsLogger
+
+        mlog = MetricsLogger(fit_cfg.log_dir)
+
+    def run_validation(step):
+        if val_loader is None:
+            return
+        from gigapose_tpu.training.validate import validation_metrics
+
+        ae_params = {"params": state.ae_params}
+        ist_vars = {
+            "params": state.ist_params, "batch_stats": state.ist_batch_stats
+        }
+        agg, n = {}, 0
+        for vrec in val_loader:
+            vm = validation_metrics(
+                ae_net, ist_net, ae_params, ist_vars, prep_fn(vrec)
+            )
+            for k, v in vm.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n += 1
+            if n >= 8:  # bounded validation pass
+                break
+        if n:
+            vm = {k: v / n for k, v in agg.items()}
+            logger.info(f"validation @ step {step}: {vm}")
+            if mlog:
+                mlog.log_scalars(step, vm)
+
     t0 = time.perf_counter()
     step = start_step
     for rec in cycle(loader):
@@ -91,10 +125,18 @@ def fit(
             m = {k: float(v) for k, v in metrics.items()}
             rate = (step - start_step) / (time.perf_counter() - t0)
             logger.info(f"step {step}: {m} ({rate:.2f} it/s)")
+            if mlog:
+                mlog.log_scalars(step, m)
             if metrics_hook:
                 metrics_hook(step, m)
+        if fit_cfg.val_every and step % fit_cfg.val_every == 0:
+            run_validation(step)
         if fit_cfg.ckpt_dir and step % fit_cfg.checkpoint_every == 0:
             ckpt_lib.save_checkpoint(fit_cfg.ckpt_dir, jax.device_get(state), step)
     if fit_cfg.ckpt_dir:
         ckpt_lib.save_checkpoint(fit_cfg.ckpt_dir, jax.device_get(state), step)
+    if val_loader is not None:
+        run_validation(step)
+    if mlog:
+        mlog.close()
     return state

@@ -55,6 +55,7 @@ def build_estimator(cfg, tiny: bool = False):
     )
     ckpt = cfg.model.get("checkpoint_path")
     if ckpt and str(ckpt).endswith(".ckpt") and osp.exists(str(ckpt)):
+        # reference torch checkpoint -> converted flax params
         from gigapose_tpu.models.convert import gigapose_ckpt_to_flax
         from gigapose_tpu.models.vit import VIT_CONFIGS
 
@@ -64,6 +65,27 @@ def build_estimator(cfg, tiny: bool = False):
         ist_params, ist_stats = converted["ist"]
         est.ist_vars = {"params": ist_params, "batch_stats": ist_stats}
         print(f"Loaded + converted torch checkpoint {ckpt}")
+    elif ckpt and osp.isdir(str(ckpt)):
+        # our own orbax train-state checkpoint (train.py output dir or a
+        # specific step dir)
+        from gigapose_tpu.training import checkpoint as ckpt_lib
+        from gigapose_tpu.training.state import OptimConfig, create_train_state
+        import jax
+
+        path = str(ckpt)
+        last = ckpt_lib.latest_checkpoint(path)
+        if last:
+            path = last
+        template, _ = create_train_state(
+            est.ae_net, est.ist_net, jax.random.PRNGKey(0), OptimConfig()
+        )
+        state = ckpt_lib.restore_checkpoint(path, template)
+        est.ae_params = {"params": state.ae_params}
+        est.ist_vars = {
+            "params": state.ist_params,
+            "batch_stats": state.ist_batch_stats,
+        }
+        print(f"Loaded orbax checkpoint {path} (step {int(state.step)})")
     return est
 
 

@@ -24,10 +24,24 @@ def test_train_cli_smoke(tmp_path, monkeypatch):
             "checkpoint_every=2",
             "log_every=1",
             "run_id=fixture",
+            "val_dataset_name=tudl",
+            "val_split=train_pbr",
+            "val_every=2",
         ]
     )
     ckpt_dir = os.path.join(root, "results", "large_fixture", "checkpoints")
     assert os.path.exists(os.path.join(ckpt_dir, "last"))
+    # metrics sink wrote scalars incl. validation
+    import json
+
+    lines = [
+        json.loads(l)
+        for l in open(
+            os.path.join(root, "results", "large_fixture", "logs", "metrics.jsonl")
+        ).read().splitlines()
+    ]
+    assert any("total" in l for l in lines)
+    assert any("val/matching" in l for l in lines)
 
 
 def test_train_loader_and_prep(tmp_path):

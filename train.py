@@ -78,6 +78,22 @@ def main(argv=None):
         warm_up_steps=cfg.model.optim.warm_up_steps,
         nets_to_train=cfg.model.optim.nets_to_train,
     )
+    # optional validation loader over a BOP val dataset (ref: ycbv val in
+    # train.py:60; the val/matching metric is the regression gate)
+    val_loader = None
+    val_ds = cfg.get("val_dataset_name")
+    if val_ds:
+        val_split = osp.join(root, val_ds, cfg.get("val_split") or "test")
+        if osp.isdir(val_split):
+            val_loader = TrainLoader(
+                scene_source=DirSceneSource(val_split),
+                template_dir=osp.join(root, "templates", val_ds),
+                batch_size=cfg.machine.batch_size,
+                inplane_augmentation=False,
+                rgb_augmentation=False,
+                seed=cfg.seed + 1,
+            )
+
     mesh = best_dp_mesh(cfg.machine.batch_size)
     state = fit(
         ae,
@@ -89,10 +105,13 @@ def main(argv=None):
             log_every=cfg.log_every,
             checkpoint_every=cfg.checkpoint_every,
             ckpt_dir=osp.join(save_dir, "checkpoints"),
+            val_every=int(cfg.get("val_every") or 0),
+            log_dir=osp.join(save_dir, "logs"),
         ),
         mesh=mesh,
         seed=cfg.seed,
         resume=bool(cfg.get("resume")),
+        val_loader=val_loader,
     )
     print(f"Training done at step {int(state.step)}; checkpoints in {save_dir}/checkpoints")
 
