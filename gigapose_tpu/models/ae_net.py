@@ -23,10 +23,14 @@ from gigapose_tpu.models.vit import ViT, ViTConfig, VIT_CONFIGS
 
 class AENet(nn.Module):
     model_name: str = "dinov2_vitl14"
+    fused_attention: bool = False  # Pallas fused attention (TPU)
 
     @property
     def cfg(self) -> ViTConfig:
-        return VIT_CONFIGS[self.model_name]
+        base = VIT_CONFIGS[self.model_name]
+        if self.fused_attention != base.fused_attention:
+            base = dataclasses.replace(base, fused_attention=self.fused_attention)
+        return base
 
     @property
     def descriptor_size(self) -> int:

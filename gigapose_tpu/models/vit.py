@@ -37,6 +37,8 @@ class ViTConfig:
     ffn_layer: str = "mlp"  # "mlp" | "swiglu"
     layerscale_init: float = 1e-5
     num_register_tokens: int = 0
+    # fused Pallas attention (TPU): the (B, H, N, N) logits stay in VMEM
+    fused_attention: bool = False
 
 
 VIT_CONFIGS = {
@@ -64,6 +66,7 @@ class LayerScale(nn.Module):
 class Attention(nn.Module):
     dim: int
     num_heads: int
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -73,10 +76,15 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * C, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-        scale = hd ** -0.5
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        if self.fused:
+            from gigapose_tpu.ops.pallas_attention import fused_attention
+
+            out = fused_attention(q, k, v).reshape(B, N, C)
+        else:
+            scale = hd ** -0.5
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
         return nn.Dense(C, name="proj")(out)
 
 
@@ -111,7 +119,7 @@ class Block(nn.Module):
     def __call__(self, x):
         c = self.cfg
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        h = Attention(c.embed_dim, c.num_heads, name="attn")(h)
+        h = Attention(c.embed_dim, c.num_heads, fused=c.fused_attention, name="attn")(h)
         x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         hidden = int(c.embed_dim * c.mlp_ratio)

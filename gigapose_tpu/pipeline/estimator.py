@@ -223,8 +223,9 @@ class GigaPoseEstimator:
         seed: int = 0,
         config: EstimatorConfig = EstimatorConfig(),
         ist_descriptor_size: int = 256,
+        fused_attention: bool = False,
     ) -> "GigaPoseEstimator":
-        ae_net = AENet(model_name=model_name)
+        ae_net = AENet(model_name=model_name, fused_attention=fused_attention)
         ist_net = default_ist_net(descriptor_size=ist_descriptor_size)
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         dummy = jnp.zeros((1, 3, 224, 224), jnp.float32)
