@@ -60,6 +60,7 @@ class CoarseRunner:
     dataset_name: str
     num_patches: int = 16
     target_size: int = 224
+    vis_every: int = 0  # dump retrieval/correspondence plots every N images
 
     @classmethod
     def onboard(
@@ -176,6 +177,8 @@ class CoarseRunner:
                 det_times = np.full(N, image.detection_time)
             if len(sel) == 0:
                 continue
+            if self.vis_every and idx_batch % self.vis_every == 0:
+                self._dump_vis(image, batch, pred, idx_batch)
             # poses to mm for the BOP csv convention (reference template poses
             # are mm already; ours follow the store's unit — callers keep mm)
             np.savez(
@@ -192,3 +195,19 @@ class CoarseRunner:
         return bop_io.merge_batched_predictions(
             pred_dir, self.dataset_name, model_name, run_id, is_refined=False
         )
+
+    def _dump_vis(self, image: ImageDetections, batch: DetectionBatch, pred,
+                  idx_batch: int):
+        """Correspondence + affine-warp plots for the first detection (the
+        reference's retrieval grids, gigaPose.py:451-479, 615-633)."""
+        from gigapose_tpu.utils import vis
+
+        vis_dir = osp.join(self.save_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        tar = np.asarray(batch.crops[0])
+        sp = np.asarray(pred.src_pts[0, 0])
+        tp = np.asarray(pred.tar_pts[0, 0])
+        canvas = vis.plot_keypoints(tar, tar, sp, tp)
+        canvas.save(osp.join(vis_dir, f"match_{idx_batch:06d}.png"))
+        warp = vis.plot_affine_warp(tar, tar, np.asarray(pred.M[0, 0]))
+        warp.save(osp.join(vis_dir, f"warp_{idx_batch:06d}.png"))

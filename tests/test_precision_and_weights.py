@@ -1,0 +1,94 @@
+"""bf16 feature-store retrieval stability (SURVEY §7 hard part 6) and the
+partial torch-weight loader."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigapose_tpu.ops.matching import match_templates
+
+
+def test_bf16_store_preserves_topk():
+    """The 0.5-cosine threshold is calibrated in f32; verify a bf16 template
+    store yields the same top-1 retrieval on a realistic separation margin."""
+    rng = np.random.default_rng(0)
+    B, N, P, C = 4, 16, 64, 128
+    npat = 8
+    tar = rng.normal(size=(B, P, C)).astype(np.float32)
+    src = rng.normal(size=(B, N, P, C)).astype(np.float32)
+    v_star = rng.integers(0, N, B)
+    for b in range(B):
+        take = rng.integers(0, P, P // 2)
+        src[b, v_star[b], take] = tar[b, take] + 0.1 * rng.normal(size=(len(take), C))
+    tar /= np.linalg.norm(tar, axis=-1, keepdims=True)
+    src /= np.linalg.norm(src, axis=-1, keepdims=True)
+    masks_t = np.ones((B, P), np.float32)
+    masks_s = np.ones((B, N, P), np.float32)
+
+    kw = dict(k=3, sim_threshold=0.5, patch_threshold=2, num_patches=npat)
+    r32 = match_templates(
+        jnp.asarray(tar), jnp.asarray(src), jnp.asarray(masks_t),
+        jnp.asarray(masks_s), **kw,
+    )
+    r16 = match_templates(
+        jnp.asarray(tar, jnp.bfloat16), jnp.asarray(src, jnp.bfloat16),
+        jnp.asarray(masks_t), jnp.asarray(masks_s), **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(r32.ids[:, 0]), v_star)
+    np.testing.assert_array_equal(np.asarray(r16.ids[:, 0]), v_star)
+    # scores agree to bf16 tolerance
+    np.testing.assert_allclose(
+        np.asarray(r16.scores, np.float32), np.asarray(r32.scores), atol=0.02
+    )
+
+
+def test_partial_load_torch_ist_backbone():
+    """Load a torch-style state dict into the IST backbone with remapping and
+    shape checks (the LoFTR warm-start path, ref train.py:84 + weight.py)."""
+    import jax
+
+    from gigapose_tpu.models.ist_net import ISTBackbone
+    from gigapose_tpu.utils.weight import partial_load_torch
+
+    bb = ISTBackbone(initial_dim=8, block_dims=(8, 8, 12, 16), descriptor_size=16,
+                     input_size=64)
+    variables = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)), False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    rng = np.random.default_rng(1)
+    sd = {
+        # matches conv1 (7x7x3x8 flax <-> 8x3x7x7 torch)
+        "backbone.conv1.weight": rng.normal(size=(8, 3, 7, 7)).astype(np.float32),
+        # matches bn1 scale/bias + running stats
+        "backbone.bn1.weight": rng.normal(size=8).astype(np.float32),
+        "backbone.bn1.bias": rng.normal(size=8).astype(np.float32),
+        "backbone.bn1.running_mean": rng.normal(size=8).astype(np.float32),
+        "backbone.bn1.running_var": np.abs(rng.normal(size=8)).astype(np.float32),
+        # torch indexed submodule: layer1.0.conv1 -> layer1_0/conv1
+        "backbone.layer1.0.conv1.weight": rng.normal(size=(8, 8, 3, 3)).astype(np.float32),
+        # shape mismatch: must be skipped, not crash
+        "backbone.layer1.0.conv2.weight": rng.normal(size=(99, 8, 3, 3)).astype(np.float32),
+        # unknown key: ignored
+        "backbone.nonexistent.weight": rng.normal(size=(4, 4)).astype(np.float32),
+    }
+    new_params, new_stats, n = partial_load_torch(
+        params, sd, prefix="backbone.", batch_stats=stats
+    )
+    assert n == 6
+    np.testing.assert_allclose(
+        new_params["conv1"]["kernel"],
+        sd["backbone.conv1.weight"].transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_allclose(new_params["bn1"]["scale"], sd["backbone.bn1.weight"])
+    np.testing.assert_allclose(
+        new_stats["bn1"]["mean"], sd["backbone.bn1.running_mean"]
+    )
+    np.testing.assert_allclose(
+        new_params["layer1_0"]["conv1"]["kernel"],
+        sd["backbone.layer1.0.conv1.weight"].transpose(2, 3, 1, 0),
+    )
+    # mismatched conv2 untouched
+    np.testing.assert_allclose(
+        new_params["layer1_0"]["conv2"]["kernel"], params["layer1_0"]["conv2"]["kernel"]
+    )
