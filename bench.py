@@ -44,6 +44,10 @@ def main():
     out = jfn(ae_params, ist_vars, store, batch)
     _ = np.asarray(out.poses)  # compile + warmup; host fetch forces completion
 
+    profile_dir = os.environ.get("GIGAPOSE_BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     # NOTE: on the axon remote backend block_until_ready does not actually
     # block; a host fetch of the final output is the only reliable fence.
     t0 = time.perf_counter()
@@ -51,6 +55,9 @@ def main():
         out = jfn(ae_params, ist_vars, store, batch)
     _ = np.asarray(out.poses)
     dt = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     crops_per_sec = B * iters / dt
     baseline = 54.0  # estimated reference coarse crops/sec (see module docstring)

@@ -96,6 +96,13 @@ class Rasterizer:
         Returns (rgba (H,W,4) uint8, depth (H,W) float32 camera units)."""
         K32 = np.ascontiguousarray(K, np.float32)
         T32 = np.ascontiguousarray(pose, np.float32)
+        if not np.isfinite(T32).all():
+            # NaN-pose guard: render nothing (ref: panda3d_batch_renderer
+            # worker_loop guard, :108-134)
+            return (
+                np.zeros((height, width, 4), np.uint8),
+                np.zeros((height, width), np.float32),
+            )
         rgba = np.zeros((height, width, 4), np.uint8)
         depth = np.zeros((height, width), np.float32)
         rc = self._lib.grast_render(

@@ -22,3 +22,18 @@ def get_logger(name: str) -> logging.Logger:
             root.setLevel(logging.INFO)
         _CONFIGURED = True
     return logging.getLogger(name)
+
+
+def disable_output(log_path: str):
+    """Redirect stdout/stderr to a file via os.dup2 (ref: src/utils/
+    logging.py:57-72; test.py uses it for quiet batch runs)."""
+    import os
+    import sys
+
+    os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
+    f = open(log_path, "a")
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.dup2(f.fileno(), sys.stdout.fileno())
+    os.dup2(f.fileno(), sys.stderr.fileno())
+    return f
