@@ -33,6 +33,11 @@ def main():
 
     import jax
 
+    cache_dir = os.environ.get("GIGAPOSE_COMPILE_CACHE", "/tmp/gigapose_jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _coarse_setup
 
     use_pallas = os.environ.get("GIGAPOSE_BENCH_PALLAS", "0") == "1"
