@@ -50,6 +50,8 @@ def fused_attention(
 ) -> jnp.ndarray:
     """(B, N, H, d) q/k/v -> (B, N, H, d) attention output."""
     B, N, H, d = q.shape
+    if jax.default_backend() != "tpu":
+        interpret = True  # Mosaic kernels only compile for TPU
     scale = d ** -0.5
     Np = ((N + 7) // 8) * 8
     dp = ((d + 127) // 128) * 128

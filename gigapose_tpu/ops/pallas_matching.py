@@ -130,6 +130,8 @@ def pallas_match_scores(
     (sim_avg (B, V), idx_t2s (B, V, P), score_t2s (B, V, P), valid (B, V, P))."""
     B, P, C = tar_feat.shape
     O, V = store_feats.shape[:2]
+    if jax.default_backend() != "tpu":
+        interpret = True  # Mosaic kernels only compile for TPU
     kernel = functools.partial(
         _match_kernel,
         sim_threshold=sim_threshold,

@@ -13,6 +13,7 @@ from gigapose_tpu.dataloader import bop_io
 
 DS = "tudl"  # a core-19 dataset name so the detection registry resolves
 OBJ_ID = 1
+NUM_OBJECTS = 2  # a second object exercises multi-object label indexing
 
 
 def build(root: str, num_templates: int = 8, img_hw=(480, 640), obj_px=120):
@@ -20,58 +21,73 @@ def build(root: str, num_templates: int = 8, img_hw=(480, 640), obj_px=120):
     datasets = osp.join(root, "datasets")
     H, W = img_hw
 
-    # --- object texture (same every view; enough for retrieval smoke)
-    texture = (rng.uniform(0.2, 1.0, size=(obj_px, obj_px, 3)) * 255).astype(np.uint8)
+    # --- per-object textures (same every view; enough for retrieval smoke)
+    textures = [
+        (rng.uniform(0.2, 1.0, size=(obj_px, obj_px, 3)) * 255).astype(np.uint8)
+        for _ in range(NUM_OBJECTS)
+    ]
+    texture = textures[0]
 
     # --- templates: RGBA 480x640 with the texture centered
-    tdir = osp.join(datasets, "templates", DS, f"{OBJ_ID:06d}")
-    os.makedirs(tdir, exist_ok=True)
     pose_dir = osp.join(datasets, "templates", DS, "object_poses")
     os.makedirs(pose_dir, exist_ok=True)
     y0, x0 = (H - obj_px) // 2, (W - obj_px) // 2
-    for v in range(num_templates):
-        rgba = np.zeros((H, W, 4), np.uint8)
-        rgba[y0 : y0 + obj_px, x0 : x0 + obj_px, :3] = texture
-        rgba[y0 : y0 + obj_px, x0 : x0 + obj_px, 3] = 255
-        Image.fromarray(rgba).save(osp.join(tdir, f"{v:06d}.png"))
-        depth = np.zeros((H, W), np.uint16)
-        depth[y0 : y0 + obj_px, x0 : x0 + obj_px] = 400
-        Image.fromarray(depth).save(osp.join(tdir, f"{v:06d}_depth.png"))
     poses = np.tile(np.eye(4), (num_templates, 1, 1))
     poses[:, 2, 3] = 400.0  # mm
-    np.save(osp.join(pose_dir, f"{OBJ_ID:06d}.npy"), poses)
+    for obj_id in range(1, NUM_OBJECTS + 1):
+        tdir = osp.join(datasets, "templates", DS, f"{obj_id:06d}")
+        os.makedirs(tdir, exist_ok=True)
+        tex = textures[obj_id - 1]
+        for v in range(num_templates):
+            rgba = np.zeros((H, W, 4), np.uint8)
+            rgba[y0 : y0 + obj_px, x0 : x0 + obj_px, :3] = tex
+            rgba[y0 : y0 + obj_px, x0 : x0 + obj_px, 3] = 255
+            Image.fromarray(rgba).save(osp.join(tdir, f"{v:06d}.png"))
+            depth = np.zeros((H, W), np.uint16)
+            depth[y0 : y0 + obj_px, x0 : x0 + obj_px] = 400
+            Image.fromarray(depth).save(osp.join(tdir, f"{v:06d}_depth.png"))
+        np.save(osp.join(pose_dir, f"{obj_id:06d}.npy"), poses)
 
     # --- one test scene with the object pasted off-center
     scene_dir = osp.join(datasets, DS, "test", "000001")
     os.makedirs(osp.join(scene_dir, "rgb"), exist_ok=True)
     img = (rng.uniform(0, 0.15, size=(H, W, 3)) * 255).astype(np.uint8)
-    qy, qx = 100, 380
-    img[qy : qy + obj_px, qx : qx + obj_px] = texture
+    # object 1 top-right, object 2 bottom-left
+    locations = [(100, 380), (280, 80)][:NUM_OBJECTS]
+    for obj_id, (qy, qx) in enumerate(locations, start=1):
+        img[qy : qy + obj_px, qx : qx + obj_px] = textures[obj_id - 1]
     Image.fromarray(img).save(osp.join(scene_dir, "rgb", "000000.png"))
     K = [572.4114, 0.0, 320.0, 0.0, 573.57043, 240.0, 0.0, 0.0, 1.0]
     with open(osp.join(scene_dir, "scene_camera.json"), "w") as f:
         json.dump({"0": {"cam_K": K, "depth_scale": 1.0}}, f)
 
     # --- CNOS detections + targets
-    mask = np.zeros((H, W), np.uint8)
-    mask[qy : qy + obj_px, qx : qx + obj_px] = 1
-    det = {
-        "scene_id": 1,
-        "image_id": 0,
-        "category_id": OBJ_ID,
-        "score": 0.95,
-        "bbox": [qx, qy, obj_px, obj_px],
-        "segmentation": bop_io.rle_encode(mask),
-        "time": 0.12,
-    }
+    dets, targets = [], []
+    for obj_id, (qy, qx) in enumerate(locations, start=1):
+        mask = np.zeros((H, W), np.uint8)
+        mask[qy : qy + obj_px, qx : qx + obj_px] = 1
+        dets.append(
+            {
+                "scene_id": 1,
+                "image_id": 0,
+                "category_id": obj_id,
+                "score": 0.95,
+                "bbox": [qx, qy, obj_px, obj_px],
+                "segmentation": bop_io.rle_encode(mask),
+                "time": 0.12,
+            }
+        )
+        targets.append(
+            {"scene_id": 1, "im_id": 0, "obj_id": obj_id, "inst_count": 1}
+        )
     det_dir = osp.join(
         datasets, "default_detections", "core19_model_based_unseen", "cnos-fastsam"
     )
     os.makedirs(det_dir, exist_ok=True)
     with open(osp.join(det_dir, f"cnos-fastsam_{DS}-test_fixture.json"), "w") as f:
-        json.dump([det], f)
+        json.dump(dets, f)
     with open(osp.join(datasets, DS, "test_targets_bop19.json"), "w") as f:
-        json.dump([{"scene_id": 1, "im_id": 0, "obj_id": OBJ_ID, "inst_count": 1}], f)
+        json.dump(targets, f)
 
     # --- a small training split (dir layout with depth + masks + gt)
     tr = osp.join(datasets, DS, "train_pbr", "000001")
@@ -109,5 +125,6 @@ def build(root: str, num_templates: int = 8, img_hw=(480, 640), obj_px=120):
 
     models = osp.join(datasets, DS, "models")
     os.makedirs(models, exist_ok=True)
-    _write_cube_ply(osp.join(models, f"obj_{OBJ_ID:06d}.ply"), size=0.08)
+    for obj_id in range(1, NUM_OBJECTS + 1):
+        _write_cube_ply(osp.join(models, f"obj_{obj_id:06d}.ply"), size=0.08)
     return root

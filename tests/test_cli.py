@@ -32,10 +32,12 @@ def test_cli_coarse_end_to_end(tmp_path, monkeypatch):
     top1 = bop_io.load_bop_csv(
         os.path.join(pred_dir, "large-pbrreal-rgb-mmodel_tudl-test_fixture.csv")
     )
-    assert len(top1) == 1  # one target instance
+    assert len(top1) == 2  # one instance per fixture object
+    assert sorted(r["obj_id"] for r in top1) == [1, 2]
     r = top1[0]
-    assert r["scene_id"] == 1 and r["im_id"] == 0 and r["obj_id"] == 1
-    assert np.isfinite(r["R"]).all() and np.isfinite(r["t"]).all()
+    for row in top1:
+        assert row["scene_id"] == 1 and row["im_id"] == 0
+        assert np.isfinite(row["R"]).all() and np.isfinite(row["t"]).all()
     # runtime protocol: detection_time + batch time > detection_time alone
     assert r["time"] > 0.12
     topk = bop_io.load_bop_csv(
@@ -44,7 +46,7 @@ def test_cli_coarse_end_to_end(tmp_path, monkeypatch):
         ),
         extra_column="instance_id",
     )
-    assert len(topk) == 5  # k hypotheses for the single instance
+    assert len(topk) == 10  # k hypotheses per instance, 2 instances
 
     # --- chain the refinement CLI on the coarse output (refine.py:20-78 path)
     import refine as refine_cli
@@ -62,10 +64,35 @@ def test_cli_coarse_end_to_end(tmp_path, monkeypatch):
     refined = bop_io.load_bop_csv(
         os.path.join(ref_dir, "large-pbrreal-rgb-mmodel_tudl-test_fixture.csv")
     )
-    assert len(refined) == 1
+    assert len(refined) == 2
     rr = refined[0]
     assert np.isfinite(rr["R"]).all() and np.isfinite(rr["t"]).all()
     # refined runtime includes coarse time + refinement time
     assert rr["time"] > r["time"]
     # rotation stays orthonormal through the update chain
     np.testing.assert_allclose(rr["R"].T @ rr["R"], np.eye(3), atol=1e-4)
+
+
+def test_cli_detection_setting(tmp_path, monkeypatch):
+    """test_setting=detection: targets come from the detections themselves."""
+    root = synthetic_bop.build(str(tmp_path))
+    monkeypatch.setenv("GIGAPOSE_TINY", "1")
+
+    import test as test_cli
+
+    test_cli.main(
+        [
+            f"machine.root_dir={root}",
+            "test_dataset_name=tudl",
+            "test_setting=detection",
+            "run_id=det",
+            "data.template.num_templates=8",
+        ]
+    )
+    from gigapose_tpu.dataloader import bop_io
+
+    pred_dir = os.path.join(root, "results", "large_det", "predictions")
+    top1 = bop_io.load_bop_csv(
+        os.path.join(pred_dir, "large-pbrreal-rgb-mmodel_tudl-test_det.csv")
+    )
+    assert len(top1) == 2 and sorted(r["obj_id"] for r in top1) == [1, 2]
