@@ -165,6 +165,11 @@ def pallas_match_scores(
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # grid steps are independent -> let Mosaic split them across
+            # tensor cores where the chip has more than one
+            dimension_semantics=("parallel", "parallel"),
+        ),
     )(labels.astype(jnp.int32), tar_feat, tar_mask, store_feats, store_masks)
 
 

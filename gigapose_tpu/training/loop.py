@@ -73,10 +73,13 @@ def fit(
 
     def cycle(it: Iterable):
         """Epoch-cycle the loader until max_steps (the reference trains on
-        infinite webdataset streams; finite sources just restart)."""
+        infinite webdataset streams; finite sources just restart), with a
+        background prefetch thread hiding host decode/augment latency."""
+        from gigapose_tpu.utils.prefetch import prefetch
+
         while True:
             empty = True
-            for x in it:
+            for x in prefetch(it, buffer_size=4):
                 empty = False
                 yield x
             if empty:
