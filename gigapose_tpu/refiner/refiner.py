@@ -175,8 +175,14 @@ class RenderCompareRefiner:
         svars = snet.init(k2, jnp.zeros((1, 6, H, W)))
         return cls(rnet, rvars, snet, svars, MeshStore(mesh_paths, config.n_sample_points), config)
 
+    _steps_cache: tuple = None
+
     def _device_steps(self):
-        """Jitted pieces: crop+prep, net+update, scorer."""
+        """Jitted pieces: crop+prep, net+update, scorer (built once — jit
+        caches by function identity, so closures must not be rebuilt per
+        call)."""
+        if self._steps_cache is not None:
+            return self._steps_cache
         cfg = self.config
 
         @jax.jit
@@ -211,7 +217,8 @@ class RenderCompareRefiner:
             x = jnp.concatenate([crops, renders], axis=1)
             return jax.nn.sigmoid(self.scorer_net.apply(scorer_vars, x))
 
-        return crop_step, update_step, score_step
+        object.__setattr__(self, "_steps_cache", (crop_step, update_step, score_step))
+        return self._steps_cache
 
     def refine_batch(
         self,
