@@ -61,6 +61,20 @@ class CoarseRunner:
     num_patches: int = 16
     target_size: int = 224
     vis_every: int = 0  # dump retrieval/correspondence plots every N images
+    # memory chunking: at most this many detections per jitted forward
+    # (ref: max_num_dets_per_forward, configs/test.yaml:23, gigaPose.py:500-536)
+    max_dets_per_forward: Optional[int] = None
+    # data-parallel eval: shard padded batches over this mesh (store and
+    # params replicated); None = single device
+    mesh: Optional["jax.sharding.Mesh"] = None
+
+    def __post_init__(self):
+        if self.mesh is not None:
+            from gigapose_tpu.parallel.mesh import replicate
+
+            self.store = replicate(self.store, self.mesh)
+            self.estimator.ae_params = replicate(self.estimator.ae_params, self.mesh)
+            self.estimator.ist_vars = replicate(self.estimator.ist_vars, self.mesh)
 
     @classmethod
     def onboard(
@@ -95,10 +109,24 @@ class CoarseRunner:
         return cls(estimator=estimator, store=store, save_dir=save_dir,
                    dataset_name=dataset_name, **kwargs)
 
-    def prepare_batch(self, image: ImageDetections) -> DetectionBatch:
-        """Host decode -> device crop/normalize, padded to a shape bucket."""
+    def prepare_batch(self, image: ImageDetections, sel=None) -> DetectionBatch:
+        """Host decode -> device crop/normalize, padded to a shape bucket.
+        `sel` restricts to a subset of the image's detections (chunking)."""
+        if sel is not None:
+            image = dataclasses.replace(
+                image,
+                labels=image.labels[sel],
+                obj_ids=image.obj_ids[sel],
+                boxes_xyxy=image.boxes_xyxy[sel],
+                masks=image.masks[sel],
+                scores=image.scores[sel],
+            )
         N = len(image.labels)
         Np = pad_bucket(N)
+        if self.mesh is not None:
+            from gigapose_tpu.parallel.mesh import pad_to_multiple
+
+            Np = pad_to_multiple(Np, len(self.mesh.devices.flat))
         H, W = image.rgb.shape[:2]
         rgb = jnp.asarray(image.rgb, jnp.float32) / 255.0  # (H, W, 3)
         masks = jnp.asarray(image.masks, jnp.float32)  # (N, H, W)
@@ -162,14 +190,25 @@ class CoarseRunner:
                 break
             n_img += 1
             timer.tic()
-            batch = self.prepare_batch(image)
-            pred = self.estimator(self.store, batch)
-            poses = np.asarray(pred.poses, np.float64)  # (Np, k, 4, 4)
-            scores = np.asarray(pred.scores, np.float64)
-            elapsed = timer.toc(block_on=pred.poses)
-
             N = len(image.labels)
-            poses, scores = poses[:N], scores[:N]
+            chunk = self.max_dets_per_forward or N
+            poses_list, scores_list = [], []
+            last_pred = None
+            for s in range(0, N, chunk):
+                sel = np.arange(s, min(s + chunk, N))
+                batch = self.prepare_batch(image, sel=sel)
+                if self.mesh is not None:
+                    from gigapose_tpu.parallel.mesh import shard_batch
+
+                    batch = shard_batch(batch, self.mesh)
+                pred = self.estimator(self.store, batch)
+                poses_list.append(np.asarray(pred.poses, np.float64)[: len(sel)])
+                scores_list.append(np.asarray(pred.scores, np.float64)[: len(sel)])
+                last_pred = pred
+            pred = last_pred
+            poses = np.concatenate(poses_list)
+            scores = np.concatenate(scores_list)
+            elapsed = timer.toc(block_on=pred.poses)
             if test_setting == "localization" and image.test_list:
                 sel, det_times = self.filter_localization(image, scores[:, 0])
             else:

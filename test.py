@@ -118,6 +118,11 @@ def main(argv=None):
     template_dir = cfg.data.template.dir if cfg.get("data") and cfg.data.template.dir else osp.join(
         root, "templates", ds
     )
+    import jax
+
+    from gigapose_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
     runner = CoarseRunner.onboard(
         est,
         template_dir=template_dir,
@@ -125,6 +130,8 @@ def main(argv=None):
         dataset_name=ds,
         num_templates=cfg.data.template.num_templates if cfg.get("data") else None,
         scale_factor=cfg.data.template.scale_factor if cfg.get("data") else 1.0,
+        max_dets_per_forward=cfg.get("max_num_dets_per_forward"),
+        mesh=mesh,
     )
     dataset = InferenceDataset(
         root_dir=root, dataset_name=ds, test_setting=cfg.test_setting,

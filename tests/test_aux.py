@@ -127,3 +127,24 @@ def test_icp_depth_refiner(tmp_path):
     gt_err = np.linalg.norm(init[:3, 3] - gt[:3, 3])
     new_err = np.linalg.norm(refined[:3, 3] - gt[:3, 3])
     assert new_err < gt_err * 0.5, (gt_err, new_err)
+
+
+def test_train_from_tar_shards(tmp_path):
+    """TrainLoader over tar shards (the reference's webdataset train path)."""
+    root = synthetic_bop.build(str(tmp_path))
+    split = os.path.join(root, "datasets", "tudl", "train_pbr")
+    shards = str(tmp_path / "train_shards")
+    from gigapose_tpu.scripts.convert_to_shards import convert
+    from gigapose_tpu.dataloader.scene import TarSceneSource
+    from gigapose_tpu.dataloader.train_set import TrainLoader, prepare_train_batch
+
+    convert(split, shards, shard_size=2)
+    loader = TrainLoader(
+        scene_source=TarSceneSource(shards),
+        template_dir=os.path.join(root, "datasets", "templates", "tudl"),
+        batch_size=2, inplane_augmentation=False, rgb_augmentation=False,
+    )
+    batch = prepare_train_batch(next(iter(loader)))
+    valid = np.asarray(batch.src_pts[..., 0]) >= 0
+    assert valid.sum() > 0
+    np.testing.assert_allclose(np.asarray(batch.rel_scale), 1.0, atol=0.05)
