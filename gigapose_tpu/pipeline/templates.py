@@ -105,14 +105,24 @@ def onboard_object(
     mask_img = crops[:, 3]
     masks = downsample_mask(mask_img, num_patches)
 
+    # software-pipelined staging: enqueue the device_put of chunk i+1 while the
+    # nets chew on chunk i (jax dispatch is async, so the transfers overlap the
+    # forward passes — the "double-buffered host->HBM staging" of the design)
+    def chunks():
+        for s in range(0, V, chunk):
+            e = min(s + chunk, V)
+            pad = chunk - (e - s)
+            yield e - s, jnp.pad(rgb[s:e], ((0, pad), (0, 0), (0, 0), (0, 0)))
+
     ae_feats, ist_feats = [], []
-    for s in range(0, V, chunk):
-        e = min(s + chunk, V)
-        # pad the tail chunk so the jitted applies see one shape
-        pad = chunk - (e - s)
-        x = jnp.pad(rgb[s:e], ((0, pad), (0, 0), (0, 0), (0, 0)))
-        ae_feats.append(ae_apply(x)[: e - s])
-        ist_feats.append(ist_apply(x)[: e - s])
+    it = chunks()
+    nxt = next(it, None)
+    while nxt is not None:
+        n, x = nxt
+        x = jax.device_put(x)
+        nxt = next(it, None)  # stage the next chunk before blocking on this one
+        ae_feats.append(ae_apply(x)[:n])
+        ist_feats.append(ist_apply(x)[:n])
     ae_f = jnp.concatenate(ae_feats).astype(feature_dtype)
     ist_f = jnp.concatenate(ist_feats).astype(feature_dtype)
     return dict(
