@@ -95,6 +95,98 @@ class MegaposePoseHeadNet(nn.Module):
         return nn.Dense(self.n_rendered_views, name="views_logits_head")(f)
 
 
+class TorchvisionBasicBlock(nn.Module):
+    """Post-activation BasicBlock (torchvision v1): conv-bn-relu-conv-bn +
+    (optional conv-bn downsample) -> relu."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda n: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                      epsilon=1e-5, name=n)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1,
+                    use_bias=False, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = norm("bn2")(y)
+        if self.has_downsample:
+            x = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, name="down_conv")(x)
+            x = norm("down_bn")(x)
+        return nn.relu(x + y)
+
+
+class VanillaResNet34(nn.Module):
+    """torchvision resnet34 with configurable input channels and an fc to
+    n_features — the reference's 'vanilla_resnet34' coarse/refiner backbone
+    option (pose_models_cfg.py:18-24)."""
+
+    layers: Sequence[int] = CONFIG[34]
+    n_features: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(
+            nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         name="bn1")(x)
+        )
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        inplanes = 64
+        for li, n_blocks in enumerate(self.layers, start=1):
+            planes = 64 * (2 ** (li - 1))
+            stride = 1 if li == 1 else 2
+            for bi in range(n_blocks):
+                s = stride if bi == 0 else 1
+                down = bi == 0 and (s != 1 or inplanes != planes)
+                x = TorchvisionBasicBlock(planes, s, down, name=f"layer{li}_{bi}")(
+                    x, train
+                )
+                inplanes = planes
+        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
+        return nn.Dense(self.n_features, name="fc")(x)
+
+
+def vanilla_resnet34_to_flax(sd: Mapping, prefix: str = "",
+                             layers: Sequence[int] = CONFIG[34]) -> Tuple[Dict, Dict]:
+    """torchvision resnet34 state dict -> VanillaResNet34 variables."""
+    t = lambda k: np.asarray(
+        sd[prefix + k].detach().cpu().numpy() if hasattr(sd[prefix + k], "detach")
+        else sd[prefix + k]
+    )
+
+    def bn(key):
+        return (
+            {"scale": t(key + ".weight"), "bias": t(key + ".bias")},
+            {"mean": t(key + ".running_mean"), "var": t(key + ".running_var")},
+        )
+
+    params: Dict = {"conv1": {"kernel": _conv(t("conv1.weight"))}}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = bn("bn1")
+    for li, n_blocks in enumerate(layers, start=1):
+        for bi in range(n_blocks):
+            tp = f"layer{li}.{bi}"
+            name = f"layer{li}_{bi}"
+            p: Dict = {"conv1": {"kernel": _conv(t(tp + ".conv1.weight"))},
+                       "conv2": {"kernel": _conv(t(tp + ".conv2.weight"))}}
+            s: Dict = {}
+            p["bn1"], s["bn1"] = bn(tp + ".bn1")
+            p["bn2"], s["bn2"] = bn(tp + ".bn2")
+            if prefix + tp + ".downsample.0.weight" in sd:
+                p["down_conv"] = {"kernel": _conv(t(tp + ".downsample.0.weight"))}
+                p["down_bn"], s["down_bn"] = bn(tp + ".downsample.1")
+            params[name] = p
+            stats[name] = s
+    params["fc"] = {"kernel": t("fc.weight").T, "bias": t("fc.bias")}
+    return params, stats
+
+
 def _conv(w):
     return np.asarray(w).transpose(2, 3, 1, 0)
 
