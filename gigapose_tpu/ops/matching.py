@@ -64,12 +64,17 @@ def match_templates(
     sim_threshold: float = 0.5,
     patch_threshold: int = 3,
     num_patches: int = 16,
+    search_direction: str = "tar2src",
 ) -> MatchResult:
     """Args:
         tar_feat:  (B, P, C) query patch features (will be L2-normalized).
         src_feats: (B, N, P, C) template patch features of each query's object.
         tar_mask:  (B, P) float/bool patch-level query mask.
         src_masks: (B, N, P) patch-level template masks.
+        search_direction: "tar2src" (default) anchors correspondences on query
+            patches; "src2tar" anchors on template patches (the reference's
+            LocalSimilarity.search_direction switch, matching.py:241-246 —
+            it swaps which axis the primary argmax reduces).
     Returns MatchResult with top-k templates per query.
     """
     B, N, P, C = src_feats.shape
@@ -83,11 +88,19 @@ def match_templates(
     sim = sim * src_m[:, :, None, :] * tar_m[:, None, :, None]
     sim = jnp.where(sim < sim_threshold, 0.0, sim)
 
-    # nearest neighbors both directions (tar2src default search direction)
-    score_t2s = jnp.max(sim, axis=3)  # (B, N, P) best template patch per query patch
-    idx_t2s = jnp.argmax(sim, axis=3)
-    score_s2t = jnp.max(sim, axis=2)  # (B, N, P) best query patch per template patch
-    idx_s2t = jnp.argmax(sim, axis=2)
+    # nearest neighbors both directions
+    if search_direction == "tar2src":
+        score_t2s = jnp.max(sim, axis=3)  # (B, N, P) best template patch / query patch
+        idx_t2s = jnp.argmax(sim, axis=3)
+        score_s2t = jnp.max(sim, axis=2)  # (B, N, P) best query patch / template patch
+        idx_s2t = jnp.argmax(sim, axis=2)
+    elif search_direction == "src2tar":
+        score_t2s = jnp.max(sim, axis=2)
+        idx_t2s = jnp.argmax(sim, axis=2)
+        score_s2t = jnp.max(sim, axis=3)
+        idx_s2t = jnp.argmax(sim, axis=3)
+    else:
+        raise ValueError(search_direction)
 
     mask_sim = score_t2s >= sim_threshold
 

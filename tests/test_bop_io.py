@@ -132,3 +132,32 @@ def test_load_cnos_detections_localization(tmp_path):
     # obj 5: megapose fallback relabels the best image detection
     obj5 = [d for d in sel_dets if d["category_id"] == 5]
     assert len(obj5) == 1 and obj5[0]["score"] == 0.9
+
+
+def test_filter_localization_multi_instance():
+    """Top inst_count detections per target object by top-1 score (the
+    reference's filter_and_save, gigaPose.py:400-449)."""
+    import numpy as np
+
+    from gigapose_tpu.dataloader.test_set import ImageDetections
+    from gigapose_tpu.pipeline.runner import CoarseRunner
+
+    image = ImageDetections(
+        scene_id=1, im_id=0, rgb=np.zeros((4, 4, 3), np.uint8), K=np.eye(3),
+        labels=np.array([1, 1, 1, 2], np.int32),
+        obj_ids=np.array([5, 5, 5, 9], np.int32),
+        boxes_xyxy=np.zeros((4, 4), np.int32),
+        masks=np.zeros((4, 4, 4), np.uint8),
+        scores=np.ones(4, np.float32),
+        detection_time=0.1,
+        test_list=[
+            {"obj_id": 5, "inst_count": 2},
+            {"obj_id": 9, "inst_count": 1},
+        ],
+    )
+    runner = CoarseRunner.__new__(CoarseRunner)  # only need the method
+    scores = np.array([0.2, 0.9, 0.5, 0.7])
+    sel, det_times = runner.filter_localization(image, scores)
+    # obj 5: best two by score -> indices 1, 2; obj 9 -> index 3
+    assert sel.tolist() == [1, 2, 3]
+    assert np.allclose(det_times, 0.1)

@@ -131,3 +131,45 @@ def test_downsample_mask_nearest():
     )
     got = downsample_mask(jnp.asarray(mask), 16)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_match_templates_src2tar_direction():
+    """search_direction=src2tar swaps the primary argmax axis like the
+    reference's switch (matching.py:241-246): equal to running the default
+    direction on the transposed similarity problem."""
+    npat, k = 4, 2
+    tar, src, tmask, smask = _random_inputs(7, B=2, N=4)
+    got = match_templates(
+        jnp.asarray(tar, jnp.float32), jnp.asarray(src, jnp.float32),
+        jnp.asarray(tmask, jnp.float32), jnp.asarray(smask, jnp.float32),
+        k=k, sim_threshold=0.5, patch_threshold=1, num_patches=npat,
+        search_direction="src2tar",
+    )
+    # oracle: swap score/idx axes in the numpy transcription
+    B, N, P, C = src.shape
+    tar_f = tar / np.linalg.norm(tar, axis=-1, keepdims=True)
+    src_f = src / np.linalg.norm(src, axis=-1, keepdims=True)
+    sim = np.einsum("btc,bnsc->bnts", tar_f, src_f)
+    sim = sim * smask[:, :, None, :] * tmask[:, None, :, None]
+    sim[sim < 0.5] = 0.0
+    score_t2s, idx_t2s = sim.max(2), sim.argmax(2)
+    score_s2t, idx_s2t = sim.max(3), sim.argmax(3)
+    mask_sim = score_t2s >= 0.5
+    mask_cycle = np.zeros_like(mask_sim, bool)
+    for b in range(B):
+        for n in range(N):
+            for t in range(P):
+                j = idx_t2s[b, n, t]
+                t2 = idx_s2t[b, n, j]
+                d = np.linalg.norm(_loc(np.array(t2), npat) - _loc(np.array(t), npat))
+                mask_cycle[b, n, t] = (d <= 1) and (score_s2t[b, n, j] >= 0.5)
+    mask_t2s = np.take_along_axis(smask, idx_t2s, axis=2)
+    mask_all = (
+        mask_sim & mask_cycle & (tmask[:, None, :] > 0) & (mask_t2s > 0)
+        & (idx_s2t != 0) & (idx_t2s != 0)
+    )
+    sim_avg = np.where(
+        mask_all.sum(2) > 0, (score_t2s * mask_all).sum(2) / (npat * npat), 0.0
+    )
+    ids_o = np.argsort(-sim_avg, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.asarray(got.ids), ids_o)
