@@ -26,10 +26,40 @@ import time
 import numpy as np
 
 
+def _arm_watchdog(model: str, B: int):
+    """The axon TPU tunnel can wedge (device init then hangs indefinitely —
+    observed in round 1). Emit a sentinel JSON line and exit instead of
+    hanging the driver."""
+    import threading
+
+    t = float(os.environ.get("GIGAPOSE_BENCH_WATCHDOG_S", "900"))
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": f"coarse query crops/sec ({model}, B={B}, 162 templates)"
+                              " [WATCHDOG: TPU session hung, no measurement]",
+                    "value": 0.0,
+                    "unit": "crops/s",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    timer = threading.Timer(t, fire)
+    timer.daemon = True
+    timer.start()
+    return timer
+
+
 def main():
     model = os.environ.get("GIGAPOSE_BENCH_MODEL", "dinov2_vits14")
     B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", "16"))
     iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "20"))
+    watchdog = _arm_watchdog(model, B)
 
     import jax
 
@@ -64,6 +94,7 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
+    watchdog.cancel()
     crops_per_sec = B * iters / dt
     baseline = 54.0  # estimated reference coarse crops/sec (see module docstring)
     print(

@@ -113,6 +113,10 @@ def main(argv=None):
         cfg.machine.root_dir, "results", f"{cfg.model.model_name}_{cfg.run_id}"
     )
     os.makedirs(save_dir, exist_ok=True)
+    if cfg.get("disable_output"):
+        from gigapose_tpu.utils.logging import disable_output
+
+        disable_output(osp.join(save_dir, "console.log"))
 
     est = build_estimator(cfg, tiny=bool(int(os.environ.get("GIGAPOSE_TINY", "0"))))
     template_dir = cfg.data.template.dir if cfg.get("data") and cfg.data.template.dir else osp.join(
