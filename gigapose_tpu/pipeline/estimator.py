@@ -127,10 +127,11 @@ def coarse_forward(
         )
 
     # ---- step 2: per-correspondence scale/in-plane (ref: gigaPose.py:538-575)
-    src_ist_all = store.ist_features[labels]  # (B, V, P, C2)
-    src_ist = jnp.take_along_axis(
-        src_ist_all, match.ids[:, :, None, None].astype(jnp.int32), axis=1
-    )  # (B, k, P, C2)
+    # single flat gather of only the k retrieved views — never materializes
+    # the (B, V, P, C2) per-batch copy of the store
+    V = store.ist_features.shape[1]
+    flat_ist = store.ist_features.reshape((-1,) + store.ist_features.shape[2:])
+    src_ist = flat_ist[labels[:, None] * V + match.ids]  # (B, k, P, C2)
 
     def regress_one_k(src_feat_k, src_pts_k, tar_pts_k):
         return ist_net.apply(

@@ -28,28 +28,54 @@ def main(argv=None):
     cfg = load_config("train", overrides)
 
     root = osp.join(cfg.machine.root_dir, "datasets")
-    ds = cfg.get("train_dataset_name") or ("gso" if cfg.train_dataset_id == 0 else "shapenet")
+    # one or several training datasets (the reference trains gso + shapenet
+    # together, summing losses per step — train.py:60, gigaPose.py:262;
+    # we interleave their batches round-robin, same data mix in expectation)
+    names = cfg.get("train_dataset_name") or (
+        "gso" if cfg.train_dataset_id == 0 else "shapenet"
+    )
+    ds_names = [n.strip() for n in str(names).split(",") if n.strip()]
+    ds = ds_names[0]
     save_dir = cfg.get("save_dir") or osp.join(
         cfg.machine.root_dir, "results", f"{cfg.model.model_name}_{cfg.run_id}"
     )
     os.makedirs(save_dir, exist_ok=True)
 
-    split_dir = osp.join(root, ds, cfg.get("train_split") or "train_pbr")
-    has_tar = osp.isdir(split_dir) and any(
-        f.endswith(".tar") for f in os.listdir(split_dir)
-    )
-    source = (
-        TarSceneSource(split_dir, depth_scale=cfg.data.depth_scale)
-        if has_tar
-        else DirSceneSource(split_dir)
-    )
-    loader = TrainLoader(
-        scene_source=source,
-        template_dir=osp.join(root, "templates", ds),
-        batch_size=cfg.machine.batch_size,
-        template_scale_factor=cfg.data.template.scale_factor,
-        seed=cfg.seed,
-    )
+    def make_loader(name, seed):
+        split_dir = osp.join(root, name, cfg.get("train_split") or "train_pbr")
+        has_tar = osp.isdir(split_dir) and any(
+            f.endswith(".tar") for f in os.listdir(split_dir)
+        )
+        source = (
+            TarSceneSource(split_dir, depth_scale=cfg.data.depth_scale)
+            if has_tar
+            else DirSceneSource(split_dir)
+        )
+        return TrainLoader(
+            scene_source=source,
+            template_dir=osp.join(root, "templates", name),
+            batch_size=cfg.machine.batch_size,
+            template_scale_factor=cfg.data.template.scale_factor,
+            seed=seed,
+        )
+
+    loaders = [make_loader(n, cfg.seed + i) for i, n in enumerate(ds_names)]
+    if len(loaders) == 1:
+        loader = loaders[0]
+    else:
+        class _Interleaved:
+            def __iter__(self_inner):
+                its = [iter(l) for l in loaders]
+                while its:
+                    nxt = []
+                    for it in its:
+                        b = next(it, None)
+                        if b is not None:
+                            yield b
+                            nxt.append(it)
+                    its = nxt
+
+        loader = _Interleaved()
 
     tiny = bool(int(os.environ.get("GIGAPOSE_TINY", "0")))
     if tiny:
