@@ -1,0 +1,96 @@
+"""Refiner training: disentangled-loss properties + a learning smoke — a few
+steps of render-and-perturb training must reduce the loss, and the trained
+refiner must reduce pose error on a held-out perturbation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from gigapose_tpu.refiner.training import refiner_disentangled_loss
+
+
+def _setup(B=4, seed=0):
+    rng = np.random.default_rng(seed)
+    TCO_gt = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    TCO_gt[:, :3, :3] = Rotation.random(B, random_state=1).as_matrix()
+    TCO_gt[:, :3, 3] = rng.normal(0, 0.02, (B, 3))
+    TCO_gt[:, 2, 3] += 0.5
+    TCO_in = TCO_gt.copy()
+    TCO_in[:, :3, 3] += rng.normal(0, 0.01, (B, 3))
+    d = Rotation.from_euler("xyz", rng.normal(0, 5, (B, 3)), degrees=True).as_matrix()
+    TCO_in[:, :3, :3] = np.einsum("bij,bjk->bik", d, TCO_in[:, :3, :3])
+    K = np.tile(np.array([[500, 0, 80], [0, 500, 80], [0, 0, 1.0]], np.float32), (B, 1, 1))
+    points = rng.normal(0, 0.04, (B, 64, 3)).astype(np.float32)
+    tCR = TCO_in[:, :3, 3].copy()
+    return TCO_gt, TCO_in, K, points, tCR
+
+
+def test_disentangled_loss_zero_at_gt():
+    """When the net outputs exactly the GT update, every term vanishes."""
+    TCO_gt, TCO_in, K, points, tCR = _setup()
+    # construct the GT net output
+    dR_gt = np.einsum("bij,bkj->bik", TCO_gt[:, :3, :3], TCO_in[:, :3, :3])
+    tCR_out_gt = TCO_gt[:, :3, 3] - np.einsum(
+        "bij,bj->bi", dR_gt, TCO_in[:, :3, 3] - tCR
+    )
+    fxfy = np.stack([K[:, 0, 0], K[:, 1, 1]], -1)
+    vz_gt = tCR_out_gt[:, 2:3] / tCR[:, 2:3]
+    vxvy_gt = fxfy * (tCR_out_gt[:, :2] / tCR_out_gt[:, 2:3] - tCR[:, :2] / tCR[:, 2:3])
+    o6d = np.concatenate([dR_gt[:, :, 0], dR_gt[:, :, 1]], -1)  # columns x, y
+    net_out = np.concatenate([o6d, vxvy_gt, vz_gt], -1).astype(np.float32)
+    total, aux = refiner_disentangled_loss(
+        jnp.asarray(TCO_gt), jnp.asarray(TCO_in), jnp.asarray(net_out),
+        jnp.asarray(K), jnp.asarray(points), jnp.asarray(tCR),
+    )
+    assert float(total) < 1e-5, dict(aux)
+
+
+def test_disentangled_loss_positive_for_identity_update():
+    """Identity update against a perturbed input leaves a positive loss that
+    roughly tracks the perturbation size."""
+    TCO_gt, TCO_in, K, points, tCR = _setup()
+    net_out = np.tile(
+        np.array([1, 0, 0, 0, 1, 0, 0, 0, 1], np.float32), (len(TCO_gt), 1)
+    )
+    total, _ = refiner_disentangled_loss(
+        jnp.asarray(TCO_gt), jnp.asarray(TCO_in), jnp.asarray(net_out),
+        jnp.asarray(K), jnp.asarray(points), jnp.asarray(tCR),
+    )
+    assert float(total) > 1e-3
+
+
+@pytest.mark.slow
+def test_refiner_training_reduces_error(tmp_path):
+    """A short render-and-perturb training run must (a) reduce the train loss
+    and (b) make refine_batch reduce pose error on a held-out case."""
+    from tests.test_rasterizer import _write_cube_ply
+    from gigapose_tpu.refiner.refiner import RefinerConfig, RenderCompareRefiner
+    from gigapose_tpu.refiner.training import train_refiner
+
+    mesh = str(tmp_path / "cube.ply")
+    _write_cube_ply(mesh, size=0.08)
+    K = np.array([[572.4, 0, 320], [0, 573.5, 240], [0, 0, 1.0]], np.float32)
+    ref = RenderCompareRefiner.create(
+        {1: mesh},
+        config=RefinerConfig(n_iterations=1, render_size=(64, 64), n_sample_points=32),
+        refiner_width=16, scorer_width=8,
+    )
+    ref = train_refiner(
+        ref, K, steps=600, batch_size=4, lr=1e-3, log_every=200,
+        train_scorer=True,
+    )
+    # held-out: known GT, perturbed init; 3 refine iterations must help
+    # (observed: 0.0247 -> ~0.014 after 600 steps)
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = Rotation.from_euler("xyz", [20, -15, 5], degrees=True).as_matrix()
+    gt[:3, 3] = [0.01, -0.02, 0.5]
+    rgba, _ = ref.meshes.rasterizers[1].render(K, gt, 640, 480)
+    img = rgba[..., :3].transpose(2, 0, 1).astype(np.float32)[None] / 255.0
+    init = gt.copy()
+    init[:3, 3] += [0.012, -0.008, 0.02]
+    out, score = ref.refine_batch(img, K[None], np.array([1]), init[None],
+                                  n_iterations=3)
+    err0 = np.linalg.norm(init[:3, 3] - gt[:3, 3])
+    err1 = np.linalg.norm(out[0, :3, 3] - gt[:3, 3])
+    assert err1 < err0 * 0.8, (err0, err1)
