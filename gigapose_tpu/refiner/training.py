@@ -159,6 +159,7 @@ def train_refiner(
     seed: int = 0,
     log_every: int = 20,
     train_scorer: bool = True,
+    perturb: PerturbConfig = PerturbConfig(),
 ) -> RenderCompareRefiner:
     """Self-supervised render-and-perturb training of refiner (+ scorer).
 
@@ -210,7 +211,7 @@ def train_refiner(
 
     gen = synthetic_refiner_batches(
         refiner.meshes, K, batch_size=batch_size, seed=seed,
-        image_hw=(480, 640),
+        image_hw=(480, 640), perturb=perturb,
     )
     params = refiner.refiner_vars["params"]
     stats = refiner.refiner_vars.get("batch_stats", {})

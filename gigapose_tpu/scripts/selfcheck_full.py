@@ -1,0 +1,152 @@
+"""FULL-system self-check on rendered 3D data: coarse training -> coarse
+estimation -> refiner training -> refinement, all against analytic GT.
+
+Unlike selfcheck_e2e (pasted-texture plane, single viewpoint), this uses the
+fully *rendered* fixture (tests/synthetic_bop.build_rendered): a vertex-
+colored cube with real viewpoint/in-plane/scale variation across 42 icosphere
+templates and random-pose training scenes — so template retrieval, in-plane/
+scale regression, RANSAC, recovery AND render-and-compare refinement are all
+exercised on true 3D geometry.
+
+Usage: python -m gigapose_tpu.scripts.selfcheck_full [steps=400]
+       [refiner_steps=400] [root=/tmp/...]
+Prints a JSON line with coarse and refined pose errors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import shutil
+import sys
+
+import numpy as np
+
+
+def pose_errors(T_pred_mm: np.ndarray, T_gt_mm: np.ndarray):
+    t_err = float(np.linalg.norm(T_pred_mm[:3, 3] - T_gt_mm[:3, 3]))
+    tr = np.trace(T_pred_mm[:3, :3] @ T_gt_mm[:3, :3].T)
+    rot_err = float(np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1))))
+    return t_err, rot_err
+
+
+def main(argv=None):
+    kv = dict(a.split("=", 1) for a in (argv if argv is not None else sys.argv[1:]))
+    steps = int(kv.get("steps", 400))
+    refiner_steps = int(kv.get("refiner_steps", 400))
+    root = kv.get("root") or "/tmp/gigapose_selfcheck_full"
+    seed = int(kv.get("seed", 0))
+
+    shutil.rmtree(root, ignore_errors=True)
+    sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))))
+    from tests import synthetic_bop
+
+    _, gt_test = synthetic_bop.build_rendered(root, n_train=40, level=0, seed=seed)
+    datasets = osp.join(root, "datasets")
+
+    # ---- 1. coarse training on the rendered scenes
+    import jax
+
+    from gigapose_tpu.dataloader.scene import DirSceneSource
+    from gigapose_tpu.dataloader.train_set import TrainLoader
+    from gigapose_tpu.models.ae_net import AENet
+    from gigapose_tpu.models.ist_net import ISTBackbone, ISTNet, Regressor
+    from gigapose_tpu.training.loop import FitConfig, fit
+    from gigapose_tpu.training.state import OptimConfig
+
+    ae = AENet(model_name="vit_tiny_test")
+    ist = ISTNet(
+        backbone=ISTBackbone(initial_dim=16, block_dims=(16, 16, 24, 32),
+                             descriptor_size=32, input_size=256),
+        regressor=Regressor(hidden_dim=32),
+    )
+    loader = TrainLoader(
+        scene_source=DirSceneSource(osp.join(datasets, "tudl", "train_pbr")),
+        template_dir=osp.join(datasets, "templates", "tudl"),
+        batch_size=4,
+        seed=seed,
+    )
+    state = fit(
+        ae, ist, loader,
+        optim_cfg=OptimConfig(ae_lr=3e-4, ist_lr=1e-3, warm_up_steps=20),
+        fit_cfg=FitConfig(max_steps=steps, log_every=max(steps // 5, 1),
+                          checkpoint_every=10**9),
+    )
+
+    # ---- 2. coarse estimation on the held-out test image
+    from gigapose_tpu.dataloader import bop_io
+    from gigapose_tpu.dataloader.test_set import InferenceDataset
+    from gigapose_tpu.pipeline.estimator import EstimatorConfig, GigaPoseEstimator
+    from gigapose_tpu.pipeline.runner import CoarseRunner
+
+    est = GigaPoseEstimator(
+        ae_net=ae, ist_net=ist,
+        ae_params={"params": state.ae_params},
+        ist_vars={"params": state.ist_params, "batch_stats": state.ist_batch_stats},
+        config=EstimatorConfig(),
+    )
+    save_dir = osp.join(root, "results", "selfcheck_full")
+    runner = CoarseRunner.onboard(
+        est, template_dir=osp.join(datasets, "templates", "tudl"),
+        save_dir=save_dir, dataset_name="tudl",
+    )
+    dataset = InferenceDataset(root_dir=datasets, dataset_name="tudl")
+    paths = runner.run(dataset, model_name="selfcheck", run_id="0")
+    coarse = bop_io.load_bop_csv(paths[0])[0]
+    T_coarse = np.eye(4)
+    T_coarse[:3, :3] = coarse["R"]
+    T_coarse[:3, 3] = coarse["t"].reshape(3)
+    t_err_c, r_err_c = pose_errors(T_coarse, gt_test)
+
+    # ---- 3. refiner training + refinement of the coarse csv
+    from gigapose_tpu.refiner.refiner import RefinerConfig, RenderCompareRefiner
+    from gigapose_tpu.refiner.runner import find_init_pose_path, run_refinement
+    from gigapose_tpu.refiner.training import PerturbConfig, train_refiner
+    from gigapose_tpu.pipeline.templates import TEMPLATE_K
+
+    refiner = RenderCompareRefiner.create(
+        {1: osp.join(datasets, "tudl", "models", "obj_000001.ply")},
+        config=RefinerConfig(n_iterations=3, render_size=(64, 64),
+                             n_sample_points=32),
+        refiner_width=16, scorer_width=8,
+    )
+    # perturbation range must cover the coarse stage's error distribution
+    refiner = train_refiner(
+        refiner, np.asarray(TEMPLATE_K), steps=refiner_steps, batch_size=4,
+        lr=1e-3, log_every=max(refiner_steps // 4, 1),
+        perturb=PerturbConfig(rot_deg=30.0, trans_xy=0.02, trans_z=0.08),
+    )
+    init_path = find_init_pose_path(
+        osp.join(save_dir, "predictions"), "tudl", "selfcheck", "0",
+        use_multiple=True,
+    )
+    ref_paths = run_refinement(
+        refiner, DirSceneSource(osp.join(datasets, "tudl", "test"),
+                                load_depth=False, load_masks=False),
+        init_path, save_dir=save_dir, dataset_name="tudl",
+        model_name="selfcheck", run_id="0", min_score=0.0,
+    )
+    refined = bop_io.load_bop_csv(ref_paths[0])[0]
+    T_ref = np.eye(4)
+    T_ref[:3, :3] = refined["R"]
+    T_ref[:3, 3] = refined["t"].reshape(3)
+    t_err_r, r_err_r = pose_errors(T_ref, gt_test)
+
+    result = {
+        "coarse_steps": steps,
+        "refiner_steps": refiner_steps,
+        "coarse_t_err_mm": round(t_err_c, 2),
+        "coarse_rot_err_deg": round(r_err_c, 2),
+        "refined_t_err_mm": round(t_err_r, 2),
+        "refined_rot_err_deg": round(r_err_r, 2),
+        "gt_t": gt_test[:3, 3].round(1).tolist(),
+        "coarse_t": T_coarse[:3, 3].round(1).tolist(),
+        "refined_t": T_ref[:3, 3].round(1).tolist(),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

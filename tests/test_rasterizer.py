@@ -16,7 +16,8 @@ def _write_cube_ply(path, size=0.05, binary=False, colors=True):
     verts = np.array(
         [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)], np.float32
     )
-    cols = (np.abs(verts) / s * 127 + 128).astype(np.uint8)
+    # sign-asymmetric colors: every orientation is visually distinct
+    cols = (verts / s * 100 + 128).astype(np.uint8)
     faces = [
         (0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),  # x faces
         (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),  # y faces
