@@ -107,7 +107,7 @@ def main(argv=None):
 
     refiner = RenderCompareRefiner.create(
         {1: osp.join(datasets, "tudl", "models", "obj_000001.ply")},
-        config=RefinerConfig(n_iterations=3, render_size=(64, 64),
+        config=RefinerConfig(n_iterations=3, render_size=(96, 96),
                              n_sample_points=32),
         refiner_width=16, scorer_width=8,
     )
@@ -115,7 +115,7 @@ def main(argv=None):
     refiner = train_refiner(
         refiner, np.asarray(TEMPLATE_K), steps=refiner_steps, batch_size=4,
         lr=1e-3, log_every=max(refiner_steps // 4, 1),
-        perturb=PerturbConfig(rot_deg=30.0, trans_xy=0.02, trans_z=0.08),
+        perturb=PerturbConfig(rot_deg=30.0, trans_xy=0.02, trans_z=0.04),
     )
     init_path = find_init_pose_path(
         osp.join(save_dir, "predictions"), "tudl", "selfcheck", "0",
