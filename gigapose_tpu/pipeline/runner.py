@@ -141,12 +141,17 @@ class CoarseRunner:
 
         pad = Np - N
         z = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        # pad K/M rows with identity, not zeros: the recovery inverts them and
+        # zero matrices would inject NaNs into the (discarded) padded rows
+        eye_pad = lambda a, d: jnp.concatenate(
+            [a, jnp.tile(jnp.eye(d, dtype=a.dtype)[None], (pad, 1, 1))]
+        ) if pad else a
         return DetectionBatch(
             crops=z(crop_rgb),
             masks=z(crop_mask),
             labels=z(jnp.asarray(image.labels - 1, jnp.int32)),  # 0-based store idx
-            Ks=z(jnp.asarray(np.tile(image.K[None], (N, 1, 1)), jnp.float32)),
-            Ms=z(Ms),
+            Ks=eye_pad(jnp.asarray(np.tile(image.K[None], (N, 1, 1)), jnp.float32), 3),
+            Ms=eye_pad(Ms, 3),
             valid=jnp.concatenate([jnp.ones(N, bool), jnp.zeros(pad, bool)]),
         )
 

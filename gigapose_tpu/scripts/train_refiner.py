@@ -63,6 +63,7 @@ def main(argv=None):
     lr = float(kv.get("lr", 3e-4))
     render = int(kv.get("render", 160))
     width = int(kv.get("width", 64))
+    scorer_width = int(kv.get("scorer_width", 32))
 
     mesh_paths = {}
     for f in sorted(os.listdir(cad_dir)):
@@ -73,6 +74,7 @@ def main(argv=None):
         mesh_paths,
         config=RefinerConfig(render_size=(render, render)),
         refiner_width=width,
+        scorer_width=scorer_width,
     )
     refiner = train_refiner(
         refiner, np.asarray(TEMPLATE_K), steps=steps, batch_size=batch_size, lr=lr

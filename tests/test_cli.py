@@ -48,7 +48,18 @@ def test_cli_coarse_end_to_end(tmp_path, monkeypatch):
     )
     assert len(topk) == 10  # k hypotheses per instance, 2 instances
 
-    # --- chain the refinement CLI on the coarse output (refine.py:20-78 path)
+    # --- train a tiny refiner checkpoint and chain the refinement CLI
+    # (refine.py:20-78 path incl. refiner_checkpoint loading)
+    from gigapose_tpu.scripts.train_refiner import main as train_refiner_cli
+
+    ckpt_dir = os.path.join(root, "refiner_ckpt")
+    train_refiner_cli(
+        [
+            f"cad_dir={os.path.join(root, 'datasets', 'tudl', 'models')}",
+            f"out_dir={ckpt_dir}",
+            "steps=2", "batch_size=2", "render=64", "width=8", "scorer_width=8",
+        ]
+    )
     import refine as refine_cli
 
     refine_cli.main(
@@ -58,6 +69,7 @@ def test_cli_coarse_end_to_end(tmp_path, monkeypatch):
             "run_id=fixture",
             "n_refine_iterations=2",
             "min_score=0",
+            f"refiner_checkpoint={ckpt_dir}",
         ]
     )
     ref_dir = os.path.join(root, "results", "large_fixture", "predictions_refined")
