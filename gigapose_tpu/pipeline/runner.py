@@ -85,6 +85,7 @@ class CoarseRunner:
         dataset_name: str,
         num_templates: Optional[int] = None,
         scale_factor: float = 1.0,
+        feature_dtype=None,  # e.g. jnp.bfloat16 halves store HBM + matching traffic
         **kwargs,
     ) -> "CoarseRunner":
         """Build the TemplateStore from a rendered template directory
@@ -99,7 +100,8 @@ class CoarseRunner:
             rgbas.append(data["rgba"])
             poses.append(data["poses"])
         store = onboard_templates(
-            estimator.ae_apply, estimator.ist_apply, rgbas, poses
+            estimator.ae_apply, estimator.ist_apply, rgbas, poses,
+            feature_dtype=feature_dtype or jnp.float32,
         )
         dt = timer.toc(block_on=store.ae_features)
         logger.info(

@@ -123,6 +123,7 @@ def main(argv=None):
         root, "templates", ds
     )
     import jax
+    import jax.numpy as jnp
 
     from gigapose_tpu.parallel.mesh import make_mesh
 
@@ -136,6 +137,10 @@ def main(argv=None):
         scale_factor=cfg.data.template.scale_factor if cfg.get("data") else 1.0,
         max_dets_per_forward=cfg.get("max_num_dets_per_forward"),
         mesh=mesh,
+        feature_dtype=(
+            jnp.bfloat16 if str(cfg.model.get("feature_dtype", "")) == "bf16"
+            else None
+        ),
     )
     dataset = InferenceDataset(
         root_dir=root, dataset_name=ds, test_setting=cfg.test_setting,

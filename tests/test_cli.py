@@ -99,6 +99,7 @@ def test_cli_detection_setting(tmp_path, monkeypatch):
             "test_setting=detection",
             "run_id=det",
             "data.template.num_templates=8",
+            "model.feature_dtype=bf16",  # bf16 store wiring
         ]
     )
     from gigapose_tpu.dataloader import bop_io
