@@ -35,6 +35,7 @@ def main(argv=None):
     kv = dict(a.split("=", 1) for a in (argv if argv is not None else sys.argv[1:]))
     steps = int(kv.get("steps", 400))
     refiner_steps = int(kv.get("refiner_steps", 400))
+    level = int(kv.get("level", 0))  # 0 -> 42 views, 1 -> 162 views
     root = kv.get("root") or "/tmp/gigapose_selfcheck_full"
     seed = int(kv.get("seed", 0))
 
@@ -42,7 +43,7 @@ def main(argv=None):
     sys.path.insert(0, osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))))
     from tests import synthetic_bop
 
-    _, gt_test = synthetic_bop.build_rendered(root, n_train=40, level=0, seed=seed)
+    _, gt_test = synthetic_bop.build_rendered(root, n_train=40, level=level, seed=seed)
     datasets = osp.join(root, "datasets")
 
     # ---- 1. coarse training on the rendered scenes
@@ -134,6 +135,7 @@ def main(argv=None):
     t_err_r, r_err_r = pose_errors(T_ref, gt_test)
 
     result = {
+        "level": level,
         "coarse_steps": steps,
         "refiner_steps": refiner_steps,
         "coarse_t_err_mm": round(t_err_c, 2),
