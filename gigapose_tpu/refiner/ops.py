@@ -102,23 +102,27 @@ def get_K_crop_resize(
 
 
 def crop_images_to_boxes(
-    images: jnp.ndarray, boxes: jnp.ndarray, output_size: Tuple[int, int]
+    images: jnp.ndarray,
+    boxes: jnp.ndarray,
+    output_size: Tuple[int, int],
+    sampling_ratio: int = 1,
 ) -> jnp.ndarray:
-    """(B, C, H, W) bilinear crop-resize to output_size from xyxy boxes
-    (the roi_align equivalent; out-of-image samples read 0)."""
+    """(B, C, H, W) crop-resize to output_size from xyxy boxes, roi_align
+    style (the reference crops with torchvision roi_align at sampling_ratio=4,
+    cropping.py:132-165): each output bin averages sampling_ratio^2 bilinear
+    samples on a regular sub-grid; out-of-image samples read 0."""
     B, C, H, W = images.shape
     oh, ow = output_size
-    ys = jnp.linspace(0.0, 1.0, oh, endpoint=True)
-    xs = jnp.linspace(0.0, 1.0, ow, endpoint=True)
-    # sample centers spanning the box (roi_align convention: edges at box
-    # corners, samples at bin centers)
-    def grid(lo, hi, n, t):
-        # bin centers: lo + (i + .5) * (hi - lo) / n
-        return lo[:, None] + (jnp.arange(n) + 0.5)[None, :] * (hi - lo)[:, None] / n
+    r = sampling_ratio
 
-    gx = grid(boxes[:, 0], boxes[:, 2], ow, xs)  # (B, ow)
-    gy = grid(boxes[:, 1], boxes[:, 3], oh, ys)  # (B, oh)
-    # bilinear sample at (gy, gx) grid
+    def grid(lo, hi, n):
+        # sub-sample centers: n*r points, r per bin
+        return lo[:, None] + (jnp.arange(n * r) + 0.5)[None, :] * (
+            hi - lo
+        )[:, None] / (n * r)
+
+    gx = grid(boxes[:, 0], boxes[:, 2], ow)  # (B, ow*r)
+    gy = grid(boxes[:, 1], boxes[:, 3], oh)  # (B, oh*r)
     x0 = jnp.floor(gx - 0.5)
     y0 = jnp.floor(gy - 0.5)
     wx = (gx - 0.5) - x0
@@ -134,7 +138,7 @@ def crop_images_to_boxes(
         idx = (yi_c[:, :, None] * W + xi_c[:, None, :]).reshape(B, 1, -1)
         vals = jnp.take_along_axis(
             flat, jnp.broadcast_to(idx, (B, C, idx.shape[-1])), axis=2
-        ).reshape(B, C, oh, ow)
+        ).reshape(B, C, oh * r, ow * r)
         return vals * inb
 
     v00 = take(y0, x0)
@@ -143,12 +147,15 @@ def crop_images_to_boxes(
     v11 = take(y0 + 1, x0 + 1)
     wy_ = wy[:, None, :, None]
     wx_ = wx[:, None, None, :]
-    return (
+    out = (
         v00 * (1 - wy_) * (1 - wx_)
         + v01 * (1 - wy_) * wx_
         + v10 * wy_ * (1 - wx_)
         + v11 * wy_ * wx_
     )
+    if r > 1:
+        out = out.reshape(B, C, oh, r, ow, r).mean(axis=(3, 5))
+    return out
 
 
 def rotation_from_ortho6d(o6d: jnp.ndarray) -> jnp.ndarray:

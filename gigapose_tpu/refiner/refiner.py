@@ -202,7 +202,8 @@ class RenderCompareRefiner:
             K_crop = R.get_K_crop_resize(
                 K, boxes_crop, images.shape[-2:], cfg.render_size
             )
-            crops = R.crop_images_to_boxes(images, boxes_crop, cfg.render_size)
+            crops = R.crop_images_to_boxes(images, boxes_crop, cfg.render_size,
+                                           sampling_ratio=4)
             return TCO_n, tCR, K_crop, crops
 
         @jax.jit

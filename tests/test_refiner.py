@@ -137,3 +137,25 @@ def test_render_compare_refiner_smoke(tmp_path):
     # rotation stays orthonormal through updates
     RtR = out[0, :3, :3].T @ out[0, :3, :3]
     np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
+
+
+def test_crop_sampling_ratio_properties():
+    """roi_align-style ratio-4 averaging: exact on constant regions and on
+    linear gradients (averaging of bilinear samples preserves both)."""
+    # constant region
+    img = np.full((1, 1, 32, 32), 3.5, np.float32)
+    box = np.array([[4.0, 4.0, 28.0, 28.0]])
+    out = np.asarray(
+        R.crop_images_to_boxes(jnp.asarray(img), jnp.asarray(box), (8, 8),
+                               sampling_ratio=4)
+    )
+    np.testing.assert_allclose(out, 3.5, atol=1e-6)
+    # horizontal gradient: bin average equals the gradient at the bin center
+    gx = np.tile(np.arange(32, dtype=np.float32), (32, 1))[None, None]
+    out = np.asarray(
+        R.crop_images_to_boxes(jnp.asarray(gx), jnp.asarray(box), (8, 8),
+                               sampling_ratio=4)
+    )
+    # bin centers along x: 4 + (i+0.5)*3 ; gradient value = x - 0.5
+    want = 4 + (np.arange(8) + 0.5) * 3 - 0.5
+    np.testing.assert_allclose(out[0, 0, 4], want, atol=1e-4)
