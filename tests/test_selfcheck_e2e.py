@@ -15,3 +15,16 @@ def test_train_then_estimate_pose(tmp_path):
     assert result["t_err_mm"] < 60, result
     assert result["rot_err_deg"] < 10, result
     assert result["score"] > 0.5, result
+
+
+@pytest.mark.slow
+def test_full_system_on_rendered_data(tmp_path):
+    """Rendered 3D fixture: train coarse nets, estimate, train refiner,
+    refine — errors must be in the regime observed in round-1 runs
+    (coarse <= 40 mm / 30 deg at level 0 with tiny nets)."""
+    from gigapose_tpu.scripts.selfcheck_full import main
+
+    result = main([f"root={tmp_path}", "steps=400", "refiner_steps=200"])
+    assert result["coarse_t_err_mm"] < 60, result
+    assert result["coarse_rot_err_deg"] < 35, result
+    assert result["refined_t_err_mm"] < 120, result  # smoke bound
