@@ -86,11 +86,28 @@ class CoarseRunner:
         num_templates: Optional[int] = None,
         scale_factor: float = 1.0,
         feature_dtype=None,  # e.g. jnp.bfloat16 halves store HBM + matching traffic
+        cache_tag: Optional[str] = None,  # persist the onboarded store on disk
         **kwargs,
     ) -> "CoarseRunner":
         """Build the TemplateStore from a rendered template directory
-        (ref: set_template_data, gigaPose.py:357-398)."""
+        (ref: set_template_data, gigaPose.py:357-398). With cache_tag, the
+        onboarded store is written to/read from
+        <template_dir>/onboarded_<tag>.npz — the feature-level analog of the
+        reference's preprocessed pixel cache (template_dataset.py:85-120)."""
         timer = Timer().tic()
+        cache_path = (
+            osp.join(template_dir, f"onboarded_{cache_tag}.npz") if cache_tag else None
+        )
+        if cache_path and osp.exists(cache_path):
+            data = np.load(cache_path)
+            fields = {k: jnp.asarray(data[k]) for k in data.files}
+            if feature_dtype is not None:
+                fields["ae_features"] = fields["ae_features"].astype(feature_dtype)
+                fields["ist_features"] = fields["ist_features"].astype(feature_dtype)
+            store = TemplateStore(**fields)
+            logger.info(f"Loaded onboarded store from {cache_path}")
+            return cls(estimator=estimator, store=store, save_dir=save_dir,
+                       dataset_name=dataset_name, **kwargs)
         obj_ids = list_objects(template_dir)
         rgbas, poses = [], []
         for obj_id in obj_ids:
@@ -108,6 +125,16 @@ class CoarseRunner:
             f"Onboarded {len(obj_ids)} objects in {dt:.1f}s "
             f"({dt / max(len(obj_ids), 1):.2f} s/object)"
         )
+        if cache_path:
+            # features persist as f32 (numpy npz has no bf16); the load path
+            # re-casts to the requested feature_dtype
+            np.savez(
+                cache_path,
+                **{f.name: np.asarray(getattr(store, f.name), np.float32)
+                   if "features" in f.name else np.asarray(getattr(store, f.name))
+                   for f in dataclasses.fields(store)},
+            )
+            logger.info(f"Saved onboarded store to {cache_path}")
         return cls(estimator=estimator, store=store, save_dir=save_dir,
                    dataset_name=dataset_name, **kwargs)
 

@@ -161,3 +161,21 @@ def test_filter_localization_multi_instance():
     # obj 5: best two by score -> indices 1, 2; obj 9 -> index 3
     assert sel.tolist() == [1, 2, 3]
     assert np.allclose(det_times, 0.1)
+
+
+def test_load_cnos_detections_bop24_hope(tmp_path):
+    """BOP'24 datasets use core24 + cnos-sam + test_targets_bop24.json
+    (ref: inout.py:414-423)."""
+    root = tmp_path
+    det_dir = root / "default_detections" / "core24_model_based_unseen" / "cnos-sam"
+    det_dir.mkdir(parents=True)
+    dets = [{"scene_id": 1, "image_id": 2, "category_id": 3, "score": 0.9,
+             "bbox": [0, 0, 5, 5]}]
+    with open(det_dir / "cnos-sam_hope-test_x.json", "w") as f:
+        json.dump(dets, f)
+    (root / "hope").mkdir()
+    with open(root / "hope" / "test_targets_bop24.json", "w") as f:
+        json.dump([{"scene_id": 1, "im_id": 2, "obj_id": 3, "inst_count": 1}], f)
+    test_list, sel = bop_io.load_cnos_detections(str(root), "hope", "localization")
+    assert "000001_000002" in test_list
+    assert sel["000001_000002"][0]["category_id"] == 3

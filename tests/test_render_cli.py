@@ -53,3 +53,37 @@ def test_render_cli_and_onboard(tmp_path):
     assert store.ae_features.shape[:3] == (1, 42, 256)
     assert np.isfinite(np.asarray(store.ae_features)).all()
     assert np.asarray(store.masks).sum() > 0
+
+
+def test_onboard_store_disk_cache(tmp_path):
+    """CoarseRunner.onboard(cache_tag=...) persists and reloads the store."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests import synthetic_bop
+    from gigapose_tpu.pipeline.runner import CoarseRunner
+    import test as test_cli
+    from gigapose_tpu.utils.config import load_config
+
+    root = synthetic_bop.build(str(tmp_path))
+    cfg = load_config("test", ["test_dataset_name=tudl"])
+    import os
+
+    os.environ["GIGAPOSE_TINY"] = "1"
+    est = test_cli.build_estimator(cfg, tiny=True)
+    tdir = os.path.join(root, "datasets", "templates", "tudl")
+    kwargs = dict(template_dir=tdir, save_dir=str(tmp_path / "r"),
+                  dataset_name="tudl", num_templates=8, cache_tag="tiny")
+    r1 = CoarseRunner.onboard(est, **kwargs)
+    assert os.path.exists(os.path.join(tdir, "onboarded_tiny.npz"))
+    r2 = CoarseRunner.onboard(est, **kwargs)  # loads from cache
+    np.testing.assert_allclose(
+        np.asarray(r1.store.ae_features), np.asarray(r2.store.ae_features),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.store.poses), np.asarray(r2.store.poses)
+    )
