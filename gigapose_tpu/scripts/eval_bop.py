@@ -33,7 +33,24 @@ def run_dataset(ds: str, overrides, root: str, run_id, refine: bool,
         import refine as refine_cli
 
         refine_cli.main(list(base) + [f"use_multiple={str(use_multiple).lower()}"])
-    return {"dataset": ds, "status": "csv_written"}
+    out = {"dataset": ds, "status": "csv_written"}
+    # official AR scoring when bop_toolkit is installed (external, like the
+    # reference's os.system call)
+    kv = dict(o.split("=", 1) for o in base if "=" in o)
+    results_root = osp.join(
+        kv.get("machine.root_dir", "."), "results"
+    )
+    for sub in ("predictions_refined", "predictions"):
+        pattern = osp.join(results_root, f"large_{run_id}", sub)
+        if osp.isdir(pattern):
+            csvs = [f for f in os.listdir(pattern)
+                    if f.endswith(".csv") and "MultiHypothesis" not in f]
+            if csvs:
+                out[f"score_{sub}"] = score_with_bop_toolkit(
+                    osp.join(pattern, csvs[0])
+                )
+                break
+    return out
 
 
 def score_with_bop_toolkit(csv_path: str) -> dict:

@@ -141,6 +141,7 @@ def main(argv=None):
             jnp.bfloat16 if str(cfg.model.get("feature_dtype", "")) == "bf16"
             else None
         ),
+        cache_tag=cfg.get("onboarding_cache"),
     )
     dataset = InferenceDataset(
         root_dir=root, dataset_name=ds, test_setting=cfg.test_setting,
