@@ -247,3 +247,27 @@ def test_train_step_runs_and_updates():
         new_state2.ae_params,
     )
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_pipeline_with_pallas_matching():
+    """coarse_forward with use_pallas_matching=True (auto-interpret off-TPU)
+    produces the same retrieval as the XLA path."""
+    import dataclasses
+
+    est = tiny_estimator()
+    store, batch, v_star = _net_driven_world(est)
+    cfg_p = dataclasses.replace(est.config, use_pallas_matching=True)
+    pred_x = coarse_forward(
+        est.ae_net, est.ist_net, est.ae_params, est.ist_vars, store, batch,
+        cfg=est.config,
+    )
+    pred_p = coarse_forward(
+        est.ae_net, est.ist_net, est.ae_params, est.ist_vars, store, batch,
+        cfg=cfg_p,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pred_x.view_ids), np.asarray(pred_p.view_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred_x.poses), np.asarray(pred_p.poses), atol=1e-4
+    )
