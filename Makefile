@@ -1,0 +1,28 @@
+# Convenience targets (see CLAUDE.md for the environment rules)
+
+.PHONY: test test-slow bench native selfcheck selfcheck-full dryrun
+
+test:
+	./run_tests.sh
+
+test-slow:
+	env PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -m slow
+
+native:
+	$(MAKE) -C native
+
+bench:  # TPU: must be the only live jax process
+	python bench.py
+
+selfcheck:
+	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+		python -m gigapose_tpu.scripts.selfcheck_e2e
+
+selfcheck-full:
+	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+		python -m gigapose_tpu.scripts.selfcheck_full steps=900 level=1
+
+dryrun:
+	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+		XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+		python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
