@@ -213,6 +213,7 @@ def train_refiner(
         refiner.meshes, K, batch_size=batch_size, seed=seed,
         image_hw=(480, 640), perturb=perturb,
     )
+    loss_history = []
     params = refiner.refiner_vars["params"]
     stats = refiner.refiner_vars.get("batch_stats", {})
     s_params = refiner.scorer_vars["params"]
@@ -255,6 +256,7 @@ def train_refiner(
             s_params, s_stats, s_opt_state, s_loss = scorer_step(
                 s_params, s_stats, s_opt_state, x_crops, x_renders, y
             )
+        loss_history.append(float(aux["loss"]))
         if step % log_every == 0 or step == 1:
             msg = {k: round(float(v), 5) for k, v in aux.items()}
             if train_scorer:
@@ -265,4 +267,5 @@ def train_refiner(
     refiner.scorer_vars = {"params": s_params, "batch_stats": s_stats}
     # drop the stale jitted closures (they capture the old vars object)
     refiner._steps_cache = None
+    refiner.loss_history = loss_history
     return refiner
