@@ -61,6 +61,7 @@ class CoarseRunner:
     num_patches: int = 16
     target_size: int = 224
     vis_every: int = 0  # dump retrieval/correspondence plots every N images
+    template_dir: Optional[str] = None  # for loading template RGBs in vis
     # memory chunking: at most this many detections per jitted forward
     # (ref: max_num_dets_per_forward, configs/test.yaml:23, gigaPose.py:500-536)
     max_dets_per_forward: Optional[int] = None
@@ -107,7 +108,8 @@ class CoarseRunner:
             store = TemplateStore(**fields)
             logger.info(f"Loaded onboarded store from {cache_path}")
             return cls(estimator=estimator, store=store, save_dir=save_dir,
-                       dataset_name=dataset_name, **kwargs)
+                       dataset_name=dataset_name, template_dir=template_dir,
+                       **kwargs)
         obj_ids = list_objects(template_dir)
         rgbas, poses = [], []
         for obj_id in obj_ids:
@@ -136,7 +138,7 @@ class CoarseRunner:
             )
             logger.info(f"Saved onboarded store to {cache_path}")
         return cls(estimator=estimator, store=store, save_dir=save_dir,
-                   dataset_name=dataset_name, **kwargs)
+                   dataset_name=dataset_name, template_dir=template_dir, **kwargs)
 
     def prepare_batch(self, image: ImageDetections, sel=None) -> DetectionBatch:
         """Host decode -> device crop/normalize, padded to a shape bucket.
@@ -271,16 +273,36 @@ class CoarseRunner:
 
     def _dump_vis(self, image: ImageDetections, batch: DetectionBatch, pred,
                   idx_batch: int):
-        """Correspondence + affine-warp plots for the first detection (the
-        reference's retrieval grids, gigaPose.py:451-479, 615-633)."""
+        """Correspondence + affine-warp plots for the first detection against
+        its retrieved template (the reference's retrieval grids,
+        gigaPose.py:451-479, 615-633)."""
         from gigapose_tpu.utils import vis
+        from gigapose_tpu.pipeline.templates import normalize_rgb
+        from gigapose_tpu.ops.crop import crop_resize_pad
+        from gigapose_tpu.dataloader.templates_disk import load_object_templates
+        from gigapose_tpu.pipeline.templates import alpha_bboxes
 
         vis_dir = osp.join(self.save_dir, "vis")
         os.makedirs(vis_dir, exist_ok=True)
         tar = np.asarray(batch.crops[0])
+        src = tar  # fallback: self-pair when template RGBs are unavailable
+        if self.template_dir is not None:
+            try:
+                obj_id = int(image.obj_ids[0])
+                view = int(np.asarray(pred.view_ids[0, 0]))
+                data = load_object_templates(self.template_dir, obj_id)
+                rgba = data["rgba"][view][None]  # (1, 4, H, W)
+                box = alpha_bboxes(rgba[:, 3])
+                crop, _ = crop_resize_pad(
+                    jnp.asarray(rgba, jnp.float32), jnp.asarray(box),
+                    self.target_size,
+                )
+                src = np.asarray(normalize_rgb(crop[0, :3]))
+            except Exception as e:  # vis must never break the run
+                logger.info(f"template vis load failed: {e}")
         sp = np.asarray(pred.src_pts[0, 0])
         tp = np.asarray(pred.tar_pts[0, 0])
-        canvas = vis.plot_keypoints(tar, tar, sp, tp)
+        canvas = vis.plot_keypoints(src, tar, sp, tp)
         canvas.save(osp.join(vis_dir, f"match_{idx_batch:06d}.png"))
-        warp = vis.plot_affine_warp(tar, tar, np.asarray(pred.M[0, 0]))
+        warp = vis.plot_affine_warp(src, tar, np.asarray(pred.M[0, 0]))
         warp.save(osp.join(vis_dir, f"warp_{idx_batch:06d}.png"))
