@@ -13,7 +13,11 @@ crops/sec; we use 54 crops/sec as the PyTorch-reference yardstick for
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: GIGAPOSE_BENCH_MODEL (default dinov2_vits14),
-GIGAPOSE_BENCH_BATCH (default 16), GIGAPOSE_BENCH_ITERS (default 20).
+GIGAPOSE_BENCH_BATCH (default 16), GIGAPOSE_BENCH_ITERS (default 20),
+GIGAPOSE_BENCH_PALLAS / GIGAPOSE_BENCH_FUSED_ATTN / GIGAPOSE_BENCH_BF16
+(kernel/dtype variants), GIGAPOSE_BENCH_MODE=onboarding (measures template
+feature precompute s/object instead — the reference logs the same metric at
+src/models/gigaPose.py:396-398).
 """
 
 from __future__ import annotations
@@ -55,6 +59,46 @@ def _arm_watchdog(model: str, B: int):
     return timer
 
 
+def bench_onboarding(model: str):
+    """Template onboarding throughput: AE+IST feature precompute for
+    162-view objects (the set_template_data hot path, gigaPose.py:357-398)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gigapose_tpu.pipeline.estimator import GigaPoseEstimator
+    from gigapose_tpu.pipeline.templates import onboard_templates
+
+    n_objects = int(os.environ.get("GIGAPOSE_BENCH_OBJECTS", "4"))
+    V = 162
+    est = GigaPoseEstimator.create(model_name=model)
+    rng = np.random.default_rng(0)
+    rgbas = [
+        rng.uniform(0, 1, (V, 4, 224, 224)).astype(np.float32)
+        for _ in range(n_objects)
+    ]
+    poses = [np.tile(np.eye(4, dtype=np.float32), (V, 1, 1)) for _ in range(n_objects)]
+    # warm-up object compiles the chunked forward
+    warm = onboard_templates(est.ae_apply, est.ist_apply, rgbas[:1], poses[:1])
+    _ = np.asarray(warm.ae_features)
+    t0 = time.perf_counter()
+    store = onboard_templates(est.ae_apply, est.ist_apply, rgbas, poses)
+    _ = np.asarray(store.ae_features)
+    dt = time.perf_counter() - t0
+    s_per_obj = dt / n_objects
+    # yardstick: the reference logs ~2 s/object on GPU for 162xViT-L
+    # (paper-scale estimate; no committed number — BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": f"template onboarding ({model}, 162 views)",
+                "value": round(s_per_obj, 3),
+                "unit": "s/object",
+                "vs_baseline": round(2.0 / s_per_obj, 2),
+            }
+        )
+    )
+
+
 def main():
     model = os.environ.get("GIGAPOSE_BENCH_MODEL", "dinov2_vits14")
     B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", "16"))
@@ -67,6 +111,11 @@ def main():
     if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if os.environ.get("GIGAPOSE_BENCH_MODE") == "onboarding":
+        bench_onboarding(model)
+        watchdog.cancel()
+        return
 
     from __graft_entry__ import _coarse_setup
 

@@ -143,6 +143,29 @@ class TarSceneSource:
             json.load(open(index_path)) if osp.exists(index_path) else None
         )
 
+    def lookup(self, key: str) -> Optional["SceneObservation"]:
+        """Random access by sample key through key_to_shard.json
+        ({key: shard_id}, the reference's index contract —
+        convert_imagewise_to_webdataset.py:98-108). Returns None when the
+        index, the shard, or the key is absent."""
+        if self.key_index is None or key not in self.key_index:
+            return None
+        path = osp.join(self.shard_dir, f"shard-{int(self.key_index[key]):06d}.tar")
+        if not osp.exists(path):
+            return None
+        parts = {}
+        with tarfile.open(path) as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                base = osp.basename(member.name)
+                k, _, suffix = base.partition(".")
+                if k == key:
+                    parts[suffix] = tf.extractfile(member).read()
+        if not parts:
+            return None
+        return _build_obs(key, parts, self.depth_scale, self.load_depth)
+
     def __iter__(self) -> Iterator[SceneObservation]:
         for shard in self.shards:
             with tarfile.open(shard) as tf:

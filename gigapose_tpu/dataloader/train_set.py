@@ -81,6 +81,7 @@ class TrainLoader:
         template_scale_factor: float = 1.0,
         seed: int = 2023,
         min_box_size: float = 10.0,
+        num_workers: int = 1,
     ):
         self.scenes = scene_source
         self.template_dir = template_dir
@@ -91,6 +92,14 @@ class TrainLoader:
         self.scale_factor = template_scale_factor
         self.rng = np.random.default_rng(seed)
         self.min_box_size = min_box_size
+        # decode/augment worker threads (the reference's 10 DataLoader
+        # workers + wds.split_by_worker, web_scene_dataset.py:211). PIL
+        # decode releases the GIL, so threads parallelize for real on
+        # multi-core hosts; num_workers<=1 is the sequential path (the
+        # correct choice on this 1-core box). Determinism: each observation
+        # gets a child seed drawn sequentially from the master stream, so
+        # the sample sequence is independent of worker count.
+        self.num_workers = num_workers
         self._pose_cache: Dict[int, np.ndarray] = {}
 
     def _view_poses(self, obj_id: int) -> np.ndarray:
@@ -119,60 +128,102 @@ class TrainLoader:
             )
         return rgba.transpose(2, 0, 1), depth * self.unit_scale
 
-    def _instances(self, obs: SceneObservation) -> List[int]:
+    def _instances(self, obs: SceneObservation, rng) -> List[int]:
         n = len(obs.object_ids)
         ok = [
             i for i in range(n)
             if min(obs.bboxes_xywh[i][2], obs.bboxes_xywh[i][3]) >= self.min_box_size
         ]
         if len(ok) > self.batch_size:
-            ok = list(self.rng.choice(ok, self.batch_size, replace=False))
+            ok = list(rng.choice(ok, self.batch_size, replace=False))
         return ok
+
+    def _obs_records(self, obs: SceneObservation, rng) -> List[Dict]:
+        """All heavy per-observation host work (rgb aug, template PNG decode,
+        inplane rotation) — the unit parallelized across loader workers."""
+        rgb = augment_rgb(obs.rgb, rng) if self.rgb_aug else obs.rgb
+        rgb = rgb.astype(np.float32).transpose(2, 0, 1) / 255.0
+        records: List[Dict] = []
+        for i in self._instances(obs, rng):
+            obj_id = obs.object_ids[i]
+            try:
+                view_poses = self._view_poses(obj_id)
+            except FileNotFoundError:
+                continue
+            v = nearest_view_index(obs.poses[i][:3, :3], view_poses)
+            inplane = float(rng.integers(0, 360)) if self.inplane_aug else 0.0
+            try:
+                t_rgba, t_depth = self._load_template_view(obj_id, v, inplane)
+            except FileNotFoundError:
+                continue
+            t_pose = view_poses[v].copy() * 1.0
+            t_pose[:3, 3] *= self.unit_scale  # -> meters
+            if inplane:
+                a = np.deg2rad(-inplane)
+                Rz = np.array(
+                    [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1.0]]
+                )
+                T = np.eye(4)
+                T[:3, :3] = Rz
+                t_pose = T @ t_pose
+            alpha = t_rgba[3]
+            ys, xs = np.nonzero(alpha > 0)
+            if len(ys) == 0:
+                continue
+            t_box = np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+            x, y, w, h = obs.bboxes_xywh[i]
+            q_box = np.array([x, y, x + w, y + h])
+            records.append(
+                dict(
+                    q_rgb=rgb, q_depth=obs.depth, q_mask=obs.masks[i],
+                    q_K=obs.K, q_pose=obs.poses[i], q_box=q_box,
+                    t_rgba=t_rgba, t_depth=t_depth, t_K=TEMPLATE_K,
+                    t_pose=t_pose, t_box=t_box,
+                )
+            )
+        return records
+
+    def _record_lists(self) -> Iterator[List[Dict]]:
+        """Per-observation record lists, sequentially or through a bounded
+        worker-thread window (order-preserving, stream-friendly)."""
+        def seeded():
+            for obs in self.scenes:
+                if obs.depth is None or obs.masks is None:
+                    continue
+                yield obs, int(self.rng.integers(2**31))
+
+        if self.num_workers <= 1:
+            for obs, seed in seeded():
+                yield self._obs_records(obs, np.random.default_rng(seed))
+            return
+
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = self.num_workers * 2
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            futs: collections.deque = collections.deque()
+            it = seeded()
+            exhausted = False
+            while True:
+                while not exhausted and len(futs) < window:
+                    nxt = next(it, None)
+                    if nxt is None:
+                        exhausted = True
+                        break
+                    futs.append(
+                        ex.submit(self._obs_records, nxt[0],
+                                  np.random.default_rng(nxt[1]))
+                    )
+                if not futs:
+                    return
+                yield futs.popleft().result()
 
     def __iter__(self) -> Iterator[HostTrainRecords]:
         pending: List[Dict] = []
-        for obs in self.scenes:
-            if obs.depth is None or obs.masks is None:
-                continue
-            rgb = augment_rgb(obs.rgb, self.rng) if self.rgb_aug else obs.rgb
-            rgb = rgb.astype(np.float32).transpose(2, 0, 1) / 255.0
-            for i in self._instances(obs):
-                obj_id = obs.object_ids[i]
-                try:
-                    view_poses = self._view_poses(obj_id)
-                except FileNotFoundError:
-                    continue
-                v = nearest_view_index(obs.poses[i][:3, :3], view_poses)
-                inplane = float(self.rng.integers(0, 360)) if self.inplane_aug else 0.0
-                try:
-                    t_rgba, t_depth = self._load_template_view(obj_id, v, inplane)
-                except FileNotFoundError:
-                    continue
-                t_pose = view_poses[v].copy() * 1.0
-                t_pose[:3, 3] *= self.unit_scale  # -> meters
-                if inplane:
-                    a = np.deg2rad(-inplane)
-                    Rz = np.array(
-                        [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1.0]]
-                    )
-                    T = np.eye(4)
-                    T[:3, :3] = Rz
-                    t_pose = T @ t_pose
-                alpha = t_rgba[3]
-                ys, xs = np.nonzero(alpha > 0)
-                if len(ys) == 0:
-                    continue
-                t_box = np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
-                x, y, w, h = obs.bboxes_xywh[i]
-                q_box = np.array([x, y, x + w, y + h])
-                pending.append(
-                    dict(
-                        q_rgb=rgb, q_depth=obs.depth, q_mask=obs.masks[i],
-                        q_K=obs.K, q_pose=obs.poses[i], q_box=q_box,
-                        t_rgba=t_rgba, t_depth=t_depth, t_K=TEMPLATE_K,
-                        t_pose=t_pose, t_box=t_box,
-                    )
-                )
+        for records in self._record_lists():
+            for rec in records:
+                pending.append(rec)
                 if len(pending) == self.batch_size:
                     yield self._stack(pending)
                     pending = []

@@ -12,12 +12,19 @@ one VMEM-resident tile program:
                                                                scalar prefetch]
         sim        (P, P)  = tar @ src^T                      [MXU]
         masking / threshold / bidirectional argmax / cycle
-        consistency (one-hot matmul gather, MXU) / per-template
-        averaged score                                        [VPU+MXU]
+        consistency / per-template averaged score             [VPU]
 
 so the P x P similarity never touches HBM and the template store is never
 copied per batch. Outputs are the per-template scores + matched indices the
 top-k / RANSAC stages consume (tiny: O(B x N x P)).
+
+Mosaic (TPU) lowering rules shape this kernel (validated on a real v5e chip):
+  - the last two dims of every block must be (8k, 128k) or the full array
+    dims -> masks ride in as (.., P, 1)/(.., 1, P), small outputs as (.., 1, 1);
+  - no scalar or 1-D vector stores/reductions -> every intermediate stays 2-D
+    (column (P, 1) / row (1, P)), reductions use keepdims;
+  - argmax is expressed as an equality-mask + first-index min-reduction, and
+    gathers as one-hot broadcast-multiply + lane reduction (pure VPU).
 
 Semantics are bit-identical to ops/matching.match_templates (which remains
 the reference implementation and the fallback on CPU); tests compare the two.
@@ -39,13 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 def _match_kernel(
     labels_ref,  # scalar prefetch: (B,) int32
     tar_ref,  # (1, P, C) VMEM
-    tar_mask_ref,  # (1, P) VMEM
+    tar_mask_ref,  # (1, P, 1) VMEM
     src_ref,  # (1, 1, P, C) VMEM <- store[label, n]
-    src_mask_ref,  # (1, 1, P) VMEM
-    score_ref,  # out (1, 1) sim_avg
-    idx_ref,  # out (1, 1, P) int32 idx_t2s
-    spts_ref,  # out (1, 1, P) f32 score_t2s
-    valid_ref,  # out (1, 1, P) int32 mask_all
+    src_mask_ref,  # (1, 1, 1, P) VMEM
+    score_ref,  # out (1, 1, 1, 1) sim_avg
+    idx_ref,  # out (1, 1, P, 1) int32 idx_t2s
+    spts_ref,  # out (1, 1, P, 1) f32 score_t2s
+    valid_ref,  # out (1, 1, P, 1) int32 mask_all
     *,
     sim_threshold: float,
     patch_threshold: int,
@@ -54,8 +61,8 @@ def _match_kernel(
     P = tar_ref.shape[1]
     tar = tar_ref[0]  # (P, C)
     src = src_ref[0, 0]  # (P, C)
-    tar_m = tar_mask_ref[0].astype(jnp.float32)  # (P,)
-    src_m = src_mask_ref[0, 0].astype(jnp.float32)  # (P,)
+    tar_m = tar_mask_ref[0].astype(jnp.float32)  # (P, 1) column
+    src_m = src_mask_ref[0, 0].astype(jnp.float32)  # (1, P) row
 
     sim = jax.lax.dot_general(
         tar,
@@ -63,54 +70,55 @@ def _match_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (P_t, P_s)
-    sim = sim * tar_m[:, None] * src_m[None, :]
+    sim = sim * tar_m * src_m
     sim = jnp.where(sim < sim_threshold, 0.0, sim)
 
-    score_t2s = jnp.max(sim, axis=1)  # (P,)
-    idx_t2s = jnp.argmax(sim, axis=1).astype(jnp.int32)
-    score_s2t = jnp.max(sim, axis=0)  # (P,)
-    idx_s2t = jnp.argmax(sim, axis=0).astype(jnp.int32)
+    # Mosaic's tpu.iota is integer-only; cast for the f32 min-reductions
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1).astype(jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0).astype(jnp.float32)
 
-    mask_sim = score_t2s >= sim_threshold
+    # first-occurrence argmax along each axis (== jnp.argmax tie behavior)
+    score_t2s = jnp.max(sim, axis=1, keepdims=True)  # (P, 1)
+    idx_t2s_f = jnp.min(
+        jnp.where(sim == score_t2s, col_ids, float(P)), axis=1, keepdims=True
+    )  # (P, 1)
+    score_s2t = jnp.max(sim, axis=0, keepdims=True)  # (1, P)
+    idx_s2t_f = jnp.min(
+        jnp.where(sim == score_s2t, row_ids, float(P)), axis=0, keepdims=True
+    )  # (1, P)
 
-    # cycle consistency via one-hot gather on the MXU:
-    # onehot[t, j] = (idx_t2s[t] == j); row t of (onehot @ v) = v[idx_t2s[t]]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
-    onehot = (idx_t2s[:, None] == col_ids).astype(jnp.float32)
-    idx_cycle = jax.lax.dot_general(
-        onehot,
-        idx_s2t.astype(jnp.float32)[:, None],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[:, 0].astype(jnp.int32)
-    sim_cycle = jax.lax.dot_general(
-        onehot,
-        score_s2t[:, None],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[:, 0]
-    src_m_at_t2s = jax.lax.dot_general(
-        onehot,
-        src_m[:, None],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[:, 0]
+    mask_sim = score_t2s >= sim_threshold  # (P, 1)
 
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
-    dx = (idx_cycle % num_patches - t_ids % num_patches).astype(jnp.float32)
-    dy = (idx_cycle // num_patches - t_ids // num_patches).astype(jnp.float32)
+    # cycle consistency: gather row-vector v at idx_t2s via one-hot
+    # broadcast-multiply + lane reduction (VPU-only, no transposes)
+    onehot = (idx_t2s_f == col_ids).astype(jnp.float32)  # (P, P)
+    gather_row = lambda v_row: jnp.sum(onehot * v_row, axis=1, keepdims=True)
+    idx_cycle = gather_row(idx_s2t_f)  # (P, 1) f32
+    sim_cycle = gather_row(score_s2t)  # (P, 1)
+    src_m_at_t2s = gather_row(src_m)  # (P, 1)
+
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(jnp.float32)
+    np_f = float(num_patches)
+    dx = jnp.mod(idx_cycle, np_f) - jnp.mod(t_ids, np_f)
+    dy = jnp.floor(idx_cycle / np_f) - jnp.floor(t_ids / np_f)
     dist = jnp.sqrt(dx * dx + dy * dy)
     mask_cycle = (dist <= patch_threshold) & (sim_cycle >= sim_threshold)
 
+    # the reference's elementwise `idx_s2t != 0` guard reads idx_s2t at the
+    # SAME patch position t (ops/matching.py:124-126 replicates
+    # matching.py:263-268) -> transpose the row vector via a diagonal gather
+    eye = (row_ids == col_ids).astype(jnp.float32)
+    idx_s2t_at_t = jnp.sum(eye * idx_s2t_f, axis=1, keepdims=True)  # (P, 1)
     mask_nonzero = (
-        (tar_m > 0) & (src_m_at_t2s > 0) & (idx_s2t != 0) & (idx_t2s != 0)
+        (tar_m > 0) & (src_m_at_t2s > 0) & (idx_s2t_at_t != 0) & (idx_t2s_f != 0)
     )
-    mask_all = mask_sim & mask_cycle & mask_nonzero
+    mask_all = mask_sim & mask_cycle & mask_nonzero  # (P, 1)
 
-    total = jnp.sum(score_t2s * mask_all.astype(jnp.float32))
-    any_valid = jnp.sum(mask_all.astype(jnp.int32)) > 0
-    score_ref[0, 0] = jnp.where(any_valid, total / (num_patches**2), 0.0)
-    idx_ref[0, 0] = idx_t2s
+    mask_f = mask_all.astype(jnp.float32)
+    total = jnp.sum(score_t2s * mask_f, axis=0, keepdims=True)  # (1, 1)
+    count = jnp.sum(mask_f, axis=0, keepdims=True)  # (1, 1)
+    score_ref[0, 0] = jnp.where(count > 0, total / (num_patches**2), 0.0)
+    idx_ref[0, 0] = idx_t2s_f.astype(jnp.int32)
     spts_ref[0, 0] = score_t2s
     valid_ref[0, 0] = mask_all.astype(jnp.int32)
 
@@ -143,24 +151,24 @@ def pallas_match_scores(
         grid=(B, V),
         in_specs=[
             pl.BlockSpec((1, P, C), lambda b, n, labels: (b, 0, 0)),
-            pl.BlockSpec((1, P), lambda b, n, labels: (b, 0)),
+            pl.BlockSpec((1, P, 1), lambda b, n, labels: (b, 0, 0)),
             pl.BlockSpec((1, 1, P, C), lambda b, n, labels: (labels[b], n, 0, 0)),
-            pl.BlockSpec((1, 1, P), lambda b, n, labels: (labels[b], n, 0)),
+            pl.BlockSpec((1, 1, 1, P), lambda b, n, labels: (labels[b], n, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda b, n, labels: (b, n)),
-            pl.BlockSpec((1, 1, P), lambda b, n, labels: (b, n, 0)),
-            pl.BlockSpec((1, 1, P), lambda b, n, labels: (b, n, 0)),
-            pl.BlockSpec((1, 1, P), lambda b, n, labels: (b, n, 0)),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, n, labels: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, P, 1), lambda b, n, labels: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, P, 1), lambda b, n, labels: (b, n, 0, 0)),
+            pl.BlockSpec((1, 1, P, 1), lambda b, n, labels: (b, n, 0, 0)),
         ],
     )
     out_shapes = [
-        jax.ShapeDtypeStruct((B, V), jnp.float32),
-        jax.ShapeDtypeStruct((B, V, P), jnp.int32),
-        jax.ShapeDtypeStruct((B, V, P), jnp.float32),
-        jax.ShapeDtypeStruct((B, V, P), jnp.int32),
+        jax.ShapeDtypeStruct((B, V, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, V, P, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, V, P, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, V, P, 1), jnp.int32),
     ]
-    return pl.pallas_call(
+    score4, idx4, spts4, valid4 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
@@ -170,7 +178,19 @@ def pallas_match_scores(
             # tensor cores where the chip has more than one
             dimension_semantics=("parallel", "parallel"),
         ),
-    )(labels.astype(jnp.int32), tar_feat, tar_mask, store_feats, store_masks)
+    )(
+        labels.astype(jnp.int32),
+        tar_feat,
+        tar_mask[:, :, None],
+        store_feats,
+        store_masks[:, :, None, :],
+    )
+    return (
+        score4[:, :, 0, 0],
+        idx4[:, :, :, 0],
+        spts4[:, :, :, 0],
+        valid4[:, :, :, 0],
+    )
 
 
 def pallas_match_templates(

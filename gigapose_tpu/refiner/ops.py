@@ -181,6 +181,36 @@ def normalize_T(T: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def TCO_init_from_boxes_autodepth_with_R(
+    boxes_2d: jnp.ndarray,  # (B, 4) xyxy
+    points: jnp.ndarray,  # (B, N, 3) object points
+    K: jnp.ndarray,  # (B, 3, 3)
+    R: jnp.ndarray,  # (B, 3, 3) rotation hypothesis
+) -> jnp.ndarray:
+    """Initial pose from a detection box and a rotation hypothesis: place the
+    object at z_guess, measure its projected extent, and rescale depth so the
+    extent matches the box (ref: cosypose_ops.py:170-223, used by
+    forward_coarse_model at pose_estimator.py:400-406)."""
+    B = boxes_2d.shape[0]
+    z_guess = 1.0
+    fxfy = jnp.stack([K[:, 0, 0], K[:, 1, 1]], axis=-1)
+    cxcy = K[:, :2, 2]
+    centers = (boxes_2d[:, :2] + boxes_2d[:, 2:]) / 2
+    xy_init = (centers - cxcy) * z_guess / fxfy
+    t0 = jnp.concatenate([xy_init, jnp.full((B, 1), z_guess)], axis=-1)
+    p_cam = einsum("bij,bnj->bni", R, points) + t0[:, None, :]
+    dxy_3d = p_cam[..., :2].max(axis=1) - p_cam[..., :2].min(axis=1)  # (B, 2)
+    bb_dxy = boxes_2d[:, 2:] - boxes_2d[:, :2] + 1.0
+    z = (fxfy * dxy_3d / bb_dxy).mean(axis=-1, keepdims=True)
+    xy = (centers - cxcy) * z / fxfy
+    out = jnp.zeros((B, 4, 4), R.dtype)
+    out = out.at[:, :3, :3].set(R)
+    out = out.at[:, :2, 3].set(xy)
+    out = out.at[:, 2, 3].set(z[:, 0])
+    out = out.at[:, 3, 3].set(1.0)
+    return out
+
+
 def pose_update_with_reference_point(
     TCO: jnp.ndarray,
     K: jnp.ndarray,

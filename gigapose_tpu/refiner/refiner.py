@@ -23,6 +23,7 @@ before each device step so the TPU sees one batched forward per iteration.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -50,10 +51,20 @@ class MeshStore:
     MeshDataBase.batched(), rigid_mesh_database.py)."""
 
     def __init__(self, mesh_paths: Dict[int, str], n_points: int = 500,
-                 unit_to_m: Optional[float] = None):
+                 unit_to_m: Optional[float] = None,
+                 num_workers: Optional[int] = None):
         self.rasterizers: Dict[int, Rasterizer] = {}
         self.points: Dict[int, np.ndarray] = {}
         self.unit_to_m: Dict[int, float] = {}
+        # render worker pool sizing (the reference's Panda3dBatchRenderer
+        # n_workers, panda3d_batch_renderer.py:89-150). The C++ render runs
+        # under ctypes (GIL released), so threads give true parallelism on
+        # multi-core hosts; on a 1-core box this resolves to the sequential
+        # path (documented no-op guard).
+        if num_workers is None:
+            num_workers = max(1, (os.cpu_count() or 1) - 1)
+        self.num_workers = num_workers
+        self._pool = None
         for label, path in mesh_paths.items():
             r = Rasterizer(path)
             self.rasterizers[label] = r
@@ -79,20 +90,69 @@ class MeshStore:
         return np.tile(verts, (reps, 1))[:n]
 
     def render_batch(
-        self, labels: np.ndarray, TCO: np.ndarray, K: np.ndarray, size: Tuple[int, int]
+        self,
+        labels: np.ndarray,
+        TCO: np.ndarray,
+        K: np.ndarray,
+        size: Tuple[int, int],
+        render_normals: bool = False,
     ) -> np.ndarray:
-        """(B,) labels, (B, 4, 4) poses (meters), (B, 3, 3) K -> (B, 3, H, W)
-        float [0,1] renders (host loop over the batch)."""
+        """(B,) labels, (B, 4, 4) poses (meters), (B, 3, 3) K -> (B, C, H, W)
+        float [0,1] renders (host loop over the batch). C = 3, or 6 with
+        render_normals: rgb + camera-space normals encoded as frac(nx, nz, -ny)
+        — the reference's MEyeNormal + repeat-wrap 3D-texture encoding in
+        Panda3D's z-up eye frame (panda3d_scene_renderer.py:214-223)."""
         H, W = size
-        out = np.zeros((len(labels), 3, H, W), np.float32)
-        for i, label in enumerate(labels):
-            r = self.rasterizers[int(label)]
-            scale = self.unit_to_m[int(label)]
+        C = 6 if render_normals else 3
+        out = np.zeros((len(labels), C, H, W), np.float32)
+
+        def render_one(i: int):
+            r = self.rasterizers[int(labels[i])]
+            scale = self.unit_to_m[int(labels[i])]
             pose = TCO[i].copy()
             pose[:3, 3] /= scale  # meters -> mesh units
-            rgba, _ = r.render(K[i], pose, W, H)
-            out[i] = rgba[..., :3].transpose(2, 0, 1).astype(np.float32) / 255.0
+            if render_normals:
+                rgba, _, nrm = r.render_full(K[i], pose, W, H, normals=True)
+                fg = rgba[..., 3] > 0
+                enc = np.stack([nrm[..., 0], nrm[..., 2], -nrm[..., 1]], axis=-1)
+                enc = np.where(fg[..., None], enc - np.floor(enc), 0.0)
+                out[i, 3:] = enc.transpose(2, 0, 1)
+            else:
+                rgba, _ = r.render(K[i], pose, W, H)
+            out[i, :3] = rgba[..., :3].transpose(2, 0, 1).astype(np.float32) / 255.0
+
+        if self.num_workers > 1 and len(labels) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            list(self._pool.map(render_one, range(len(labels))))
+        else:
+            for i in range(len(labels)):
+                render_one(i)
         return out
+
+    def render_multiview_batch(
+        self,
+        labels: np.ndarray,  # (B,)
+        TCV_O: np.ndarray,  # (B, V, 4, 4) meters
+        KV: np.ndarray,  # (B, V, 3, 3)
+        size: Tuple[int, int],
+        render_normals: bool = False,
+    ) -> np.ndarray:
+        """(B, V*C, H, W) — each hypothesis rendered from V viewpoints and
+        channel-concatenated per view, the layout PosePredictor's
+        render_images_multiview feeds its backbone (pose_rigid.py:348-424)."""
+        B, V = TCV_O.shape[:2]
+        flat = self.render_batch(
+            np.repeat(labels, V),
+            TCV_O.reshape(B * V, 4, 4),
+            KV.reshape(B * V, 3, 3),
+            size,
+            render_normals=render_normals,
+        )
+        C = flat.shape[1]
+        return flat.reshape(B, V * C, *size)
 
 
 def _load_vertices(path: str) -> np.ndarray:

@@ -75,9 +75,29 @@ def run_refinement(
         if f.endswith(".npz"):
             os.remove(osp.join(pred_dir, f))
 
+    def _iter_obs():
+        """Random access via key_to_shard.json when the source supports it —
+        refinement touches only images that actually carry hypotheses, so
+        skipping the sequential decode of the rest is a real win on sparse
+        refine sets (the reference reads per-key through the same index)."""
+        keys = sorted(locs_per_image)
+        index = getattr(scene_source, "key_index", None)
+        if (
+            hasattr(scene_source, "lookup")
+            and index
+            and all(k in index for k in keys)
+        ):
+            logger.info(f"Random-access refinement over {len(keys)} keys")
+            for k in keys:
+                obs = scene_source.lookup(k)
+                if obs is not None:
+                    yield obs
+            return
+        yield from scene_source
+
     timer = Timer()
     n_img = 0
-    for batch_id, obs in enumerate(scene_source):
+    for batch_id, obs in enumerate(_iter_obs()):
         key = obs.key
         rows = locs_per_image.get(key, [])
         if not rows:

@@ -58,6 +58,10 @@ def _load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.grast_render2.restype = ctypes.c_int
+    lib.grast_render2.argtypes = lib.grast_render.argtypes + [
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -94,18 +98,35 @@ class Rasterizer:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """K (3,3), pose (4,4) object->camera in mesh units.
         Returns (rgba (H,W,4) uint8, depth (H,W) float32 camera units)."""
+        rgba, depth, _ = self.render_full(K, pose, width, height, normals=False)
+        return rgba, depth
+
+    def render_full(
+        self,
+        K: np.ndarray,
+        pose: np.ndarray,
+        width: int = 640,
+        height: int = 480,
+        normals: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        """Like render() but optionally also returns per-pixel unit
+        camera-space face normals (H,W,3) float32 (0 on background) — the
+        normals pass megapose's refiner inputs use (reference:
+        panda3d_scene_renderer.py:214-223 use_normals_texture)."""
         K32 = np.ascontiguousarray(K, np.float32)
         T32 = np.ascontiguousarray(pose, np.float32)
+        nrm = np.zeros((height, width, 3), np.float32) if normals else None
         if not np.isfinite(T32).all():
             # NaN-pose guard: render nothing (ref: panda3d_batch_renderer
             # worker_loop guard, :108-134)
             return (
                 np.zeros((height, width, 4), np.uint8),
                 np.zeros((height, width), np.float32),
+                nrm,
             )
         rgba = np.zeros((height, width, 4), np.uint8)
         depth = np.zeros((height, width), np.float32)
-        rc = self._lib.grast_render(
+        rc = self._lib.grast_render2(
             self._handle,
             K32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             T32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -113,10 +134,13 @@ class Rasterizer:
             height,
             rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            if nrm is not None
+            else None,
         )
         if rc != 0:
             raise RuntimeError(f"render failed rc={rc}")
-        return rgba, depth
+        return rgba, depth, nrm
 
     def __del__(self):
         try:

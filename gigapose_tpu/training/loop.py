@@ -47,10 +47,14 @@ def fit(
     metrics_hook: Optional[Callable] = None,
     resume: bool = False,
     val_loader: Optional[Iterable[HostTrainRecords]] = None,
+    warm_start: Optional[Callable[[TrainState], TrainState]] = None,
 ) -> TrainState:
     state, tx = create_train_state(
         ae_net, ist_net, jax.random.PRNGKey(seed), optim_cfg, image_size=image_size
     )
+    if warm_start is not None:
+        # e.g. LoFTR-pretrained IST backbone (reference train.py:82-88)
+        state = warm_start(state)
     start_step = 0
     if resume and fit_cfg.ckpt_dir:
         last = ckpt_lib.latest_checkpoint(fit_cfg.ckpt_dir)

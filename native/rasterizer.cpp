@@ -227,9 +227,12 @@ int grast_num_vertices(void* handle) {
 
 // Render the mesh under object pose T (4x4 row-major, object->camera, units of
 // the mesh) through intrinsics K (3x3 row-major). Writes RGBA uint8 (H*W*4)
-// and depth float (H*W, camera units; 0 = background).
-int grast_render(void* handle, const float* K, const float* T, int W, int H,
-                 uint8_t* out_rgba, float* out_depth) {
+// and depth float (H*W, camera units; 0 = background). out_normals, when
+// non-null, receives the unit camera-space face normal per pixel (H*W*3
+// float, 0 = background) — the capability behind megapose's normals render
+// pass (reference: panda3d_scene_renderer.py use_normals_texture).
+int grast_render2(void* handle, const float* K, const float* T, int W, int H,
+                  uint8_t* out_rgba, float* out_depth, float* out_normals) {
   Mesh* m = (Mesh*)handle;
   const size_t nv = m->verts.size() / 3;
   std::vector<float> cam(3 * nv);       // camera-space vertices
@@ -249,6 +252,7 @@ int grast_render(void* handle, const float* K, const float* T, int W, int H,
   }
   memset(out_rgba, 0, (size_t)W * H * 4);
   for (int i = 0; i < W * H; ++i) out_depth[i] = 0.f;
+  if (out_normals) memset(out_normals, 0, (size_t)W * H * 3 * sizeof(float));
   std::vector<float> zbuf((size_t)W * H, 1e30f);
 
   const bool has_color = !m->colors.empty();
@@ -275,9 +279,13 @@ int grast_render(void* handle, const float* K, const float* T, int W, int H,
                   e1[0] * e2[1] - e1[1] * e2[0]};
     float nl = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
     float shade = 1.0f;
+    float nu[3] = {0.f, 0.f, 0.f};
     if (nl > 0) {
       // headlight along +z: |cos| so winding doesn't matter
       shade = 0.35f + 0.65f * std::fabs(n[2] / nl);
+      nu[0] = n[0] / nl; nu[1] = n[1] / nl; nu[2] = n[2] / nl;
+      // orient towards the camera (-z facing) so winding doesn't matter
+      if (nu[2] > 0) { nu[0] = -nu[0]; nu[1] = -nu[1]; nu[2] = -nu[2]; }
     }
     const float inv_area = 1.0f / area;
     const float iz0 = 1.0f / z0, iz1 = 1.0f / z1, iz2 = 1.0f / z2;
@@ -307,10 +315,20 @@ int grast_render(void* handle, const float* K, const float* T, int W, int H,
         out_rgba[4 * pix + 1] = (uint8_t)std::min(255.f, g * shade);
         out_rgba[4 * pix + 2] = (uint8_t)std::min(255.f, b * shade);
         out_rgba[4 * pix + 3] = 255;
+        if (out_normals) {
+          out_normals[3 * pix] = nu[0];
+          out_normals[3 * pix + 1] = nu[1];
+          out_normals[3 * pix + 2] = nu[2];
+        }
       }
     }
   }
   return 0;
+}
+
+int grast_render(void* handle, const float* K, const float* T, int W, int H,
+                 uint8_t* out_rgba, float* out_depth) {
+  return grast_render2(handle, K, T, W, H, out_rgba, out_depth, nullptr);
 }
 
 }  // extern "C"

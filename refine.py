@@ -43,25 +43,46 @@ def main(argv=None):
             mesh_paths[obj_id] = osp.join(cad_dir, f)
 
     tiny = bool(int(os.environ.get("GIGAPOSE_TINY", "0")))
-    rcfg = RefinerConfig(
-        n_iterations=int(cfg.get("n_refine_iterations") or 5),
-        render_size=(64, 64) if tiny else (160, 160),
-        n_sample_points=8 if tiny else 500,
-    )
-    refiner = RenderCompareRefiner.create(
-        mesh_paths, config=rcfg,
-        refiner_width=8 if tiny else 64, scorer_width=8 if tiny else 32,
-    )
-    ckpt = cfg.get("refiner_checkpoint")
-    if ckpt:
-        # orbax weights from gigapose_tpu.scripts.train_refiner (the
-        # reference instead loads megapose torch ckpts, refiner_utils.py:56-116;
-        # refiner/megapose_net.py provides those converters when the released
-        # weights are available)
-        from gigapose_tpu.scripts.train_refiner import load_refiner_checkpoint
+    mp_refiner_ckpt = cfg.get("megapose_refiner_ckpt")
+    mp_coarse_ckpt = cfg.get("megapose_coarse_ckpt")
+    if mp_refiner_ckpt or mp_coarse_ckpt or cfg.get("refiner_type") == "megapose":
+        # released-checkpoint architecture: WideResNet34 twins, (240, 320)
+        # crops, rgb+normals renders (ref: refiner_utils.py:56-116)
+        from gigapose_tpu.refiner.megapose_refiner import (
+            MegaposeRefiner,
+            MegaposeRefinerConfig,
+        )
 
-        refiner = load_refiner_checkpoint(str(ckpt), refiner)
-        print(f"Loaded refiner checkpoint {ckpt}")
+        mcfg = MegaposeRefinerConfig(
+            n_iterations=int(cfg.get("n_refine_iterations") or 5),
+            render_size=(60, 80) if tiny else (240, 320),
+            n_sample_points=8 if tiny else 500,
+            n_rendered_views=int(cfg.get("n_rendered_views") or 1),
+        )
+        refiner = MegaposeRefiner.from_checkpoints(
+            mp_refiner_ckpt and str(mp_refiner_ckpt),
+            mp_coarse_ckpt and str(mp_coarse_ckpt),
+            mesh_paths,
+            config=mcfg,
+            width=0.125 if tiny else 1.0,
+        )
+    else:
+        rcfg = RefinerConfig(
+            n_iterations=int(cfg.get("n_refine_iterations") or 5),
+            render_size=(64, 64) if tiny else (160, 160),
+            n_sample_points=8 if tiny else 500,
+        )
+        refiner = RenderCompareRefiner.create(
+            mesh_paths, config=rcfg,
+            refiner_width=8 if tiny else 64, scorer_width=8 if tiny else 32,
+        )
+        ckpt = cfg.get("refiner_checkpoint")
+        if ckpt:
+            # orbax weights from gigapose_tpu.scripts.train_refiner
+            from gigapose_tpu.scripts.train_refiner import load_refiner_checkpoint
+
+            refiner = load_refiner_checkpoint(str(ckpt), refiner)
+            print(f"Loaded refiner checkpoint {ckpt}")
 
     split_dir = osp.join(root, ds, "test")
     has_tar = osp.isdir(split_dir) and any(

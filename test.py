@@ -18,11 +18,19 @@ def build_estimator(cfg, tiny: bool = False):
     from gigapose_tpu.models.ist_net import ISTBackbone, ISTNet, Regressor
     from gigapose_tpu.pipeline.estimator import EstimatorConfig, GigaPoseEstimator
 
+    pallas = cfg.model.get("use_pallas_matching", "auto")
+    if str(pallas) == "auto":
+        # fused Pallas kernel only Mosaic-compiles on TPU; measured 2.4x
+        # faster than the XLA path on v5e (945 vs 390 crops/s, BENCH r2)
+        import jax
+
+        pallas = jax.default_backend() == "tpu"
     est_cfg = EstimatorConfig(
         k=cfg.model.testing_metric.k,
         sim_threshold=cfg.model.testing_metric.sim_threshold,
         patch_threshold=cfg.model.testing_metric.patch_threshold,
         pixel_threshold=cfg.model.ransac.pixel_threshold,
+        use_pallas_matching=bool(pallas),
     )
     if tiny:  # smoke/e2e-testing path: tiny nets, full pipeline
         import jax

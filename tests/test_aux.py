@@ -32,6 +32,15 @@ def test_convert_to_shards_roundtrip(tmp_path):
     np.testing.assert_array_equal(a.masks, b.masks)
     np.testing.assert_allclose(a.depth, b.depth, atol=1e-6)
 
+    # random access by key through key_to_shard.json (reference index
+    # contract, convert_imagewise_to_webdataset.py:98-108)
+    src = TarSceneSource(out)
+    for want in dir_obs:
+        got = src.lookup(want.key)
+        assert got is not None and got.key == want.key
+        np.testing.assert_array_equal(got.rgb, want.rgb)
+    assert src.lookup("nonexistent_key") is None
+
 
 def test_vis_helpers(tmp_path):
     from gigapose_tpu.utils import vis

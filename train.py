@@ -51,12 +51,17 @@ def main(argv=None):
             if has_tar
             else DirSceneSource(split_dir)
         )
+        n_cpu = os.cpu_count() or 1
         return TrainLoader(
             scene_source=source,
             template_dir=osp.join(root, "templates", name),
             batch_size=cfg.machine.batch_size,
             template_scale_factor=cfg.data.template.scale_factor,
             seed=seed,
+            # honor machine.num_workers, capped to the host (1-core box ->
+            # sequential path; ref: 10 DataLoader workers, machine/local.yaml)
+            num_workers=max(1, min(int(cfg.machine.get("num_workers") or 1),
+                                   n_cpu - 1 if n_cpu > 1 else 1)),
         )
 
     loaders = [make_loader(n, cfg.seed + i) for i, n in enumerate(ds_names)]
@@ -120,6 +125,32 @@ def main(argv=None):
                 seed=cfg.seed + 1,
             )
 
+    # LoFTR-style warm start of the IST backbone from a torch checkpoint
+    # (reference train.py:82-88 via load_checkpoint; here the shape-checked
+    # partial loader with torch->flax key remapping)
+    warm_start = None
+    ist_ckpt = cfg.get("pretrained_ist_path") or cfg.model.ist_net.get(
+        "pretrained_weights"
+    )
+    if ist_ckpt:
+        def warm_start(state, _path=str(ist_ckpt)):
+            import torch
+
+            from gigapose_tpu.utils.weight import partial_load_torch
+
+            sd = torch.load(_path, map_location="cpu", weights_only=False)
+            key = cfg.model.ist_net.get("checkpoint_key") or "state_dict"
+            sd = sd.get(key, sd) if isinstance(sd, dict) else sd
+            prefix = str(cfg.model.ist_net.get("pretrained_prefix") or "")
+            params, stats, n = partial_load_torch(
+                jax.tree_util.tree_map(lambda x: x, state.ist_params),
+                sd,
+                prefix=prefix,
+                batch_stats=state.ist_batch_stats,
+            )
+            print(f"Warm-started IST from {_path}: {n} tensors loaded")
+            return state._replace(ist_params=params, ist_batch_stats=stats)
+
     mesh = best_dp_mesh(cfg.machine.batch_size)
     state = fit(
         ae,
@@ -138,6 +169,7 @@ def main(argv=None):
         seed=cfg.seed,
         resume=bool(cfg.get("resume")),
         val_loader=val_loader,
+        warm_start=warm_start,
     )
     print(f"Training done at step {int(state.step)}; checkpoints in {save_dir}/checkpoints")
 
