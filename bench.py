@@ -73,13 +73,16 @@ def bench_onboarding(model: str):
     est = GigaPoseEstimator.create(model_name=model)
     rng = np.random.default_rng(0)
     rgbas = [
-        rng.uniform(0, 1, (V, 4, 224, 224)).astype(np.float32)
+        rng.integers(0, 256, (V, 4, 224, 224), dtype=np.uint8)
         for _ in range(n_objects)
     ]
     poses = [np.tile(np.eye(4, dtype=np.float32), (V, 1, 1)) for _ in range(n_objects)]
     # warm-up object compiles the chunked forward
+    t_w = time.perf_counter()
     warm = onboard_templates(est.ae_apply, est.ist_apply, rgbas[:1], poses[:1])
     _ = np.asarray(warm.ae_features)
+    print(f"[onboarding] warm-up (compile) {time.perf_counter() - t_w:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     store = onboard_templates(est.ae_apply, est.ist_apply, rgbas, poses)
     _ = np.asarray(store.ae_features)

@@ -24,12 +24,20 @@ from gigapose_tpu.models.vit import ViT, ViTConfig, VIT_CONFIGS
 class AENet(nn.Module):
     model_name: str = "dinov2_vitl14"
     fused_attention: bool = False  # Pallas fused attention (TPU)
+    compute_dtype: str = None  # "bfloat16" -> bf16 matmuls (f32 LN/residual)
 
     @property
     def cfg(self) -> ViTConfig:
         base = VIT_CONFIGS[self.model_name]
-        if self.fused_attention != base.fused_attention:
-            base = dataclasses.replace(base, fused_attention=self.fused_attention)
+        if (
+            self.fused_attention != base.fused_attention
+            or self.compute_dtype != base.compute_dtype
+        ):
+            base = dataclasses.replace(
+                base,
+                fused_attention=self.fused_attention,
+                compute_dtype=self.compute_dtype,
+            )
         return base
 
     @property

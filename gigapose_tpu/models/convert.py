@@ -171,6 +171,38 @@ def regressor_to_flax(sd: Mapping[str, np.ndarray], prefix: str = ""):
     return out
 
 
+def spatial_transformer_to_flax(sd: Mapping[str, np.ndarray], prefix: str = "",
+                                depth: int = 1) -> Dict:
+    """Reference SpatialTransformer (resnet.py:256-315) state dict ->
+    models.ist_net.SpatialTransformer params."""
+    g = lambda k: sd[prefix + k]
+    p: Dict = {
+        "norm": {"scale": _t(g("norm.weight")), "bias": _t(g("norm.bias"))},
+        "proj_in": _conv(g("proj_in.weight"), g("proj_in.bias")),
+        "proj_out": _conv(g("proj_out.weight"), g("proj_out.bias")),
+    }
+    for d in range(depth):
+        b = f"transformer_blocks.{d}."
+        blk: Dict = {}
+        for attn in ("attn1", "attn2"):
+            blk[attn] = {
+                "to_q": {"kernel": _t(g(b + attn + ".to_q.weight")).T},
+                "to_k": {"kernel": _t(g(b + attn + ".to_k.weight")).T},
+                "to_v": {"kernel": _t(g(b + attn + ".to_v.weight")).T},
+                "to_out": _linear(
+                    g(b + attn + ".to_out.0.weight"), g(b + attn + ".to_out.0.bias")
+                ),
+            }
+        for n in ("norm1", "norm2", "norm3"):
+            blk[n] = _ln(g(b + n + ".weight"), g(b + n + ".bias"))
+        blk["ff_proj"] = _linear(
+            g(b + "ff.net.0.proj.weight"), g(b + "ff.net.0.proj.bias")
+        )
+        blk["ff_out"] = _linear(g(b + "ff.net.2.weight"), g(b + "ff.net.2.bias"))
+        p[f"block{d}"] = blk
+    return p
+
+
 def gigapose_ckpt_to_flax(ckpt_path: str, depth: int):
     """Load a reference lightning checkpoint and convert both networks.
 

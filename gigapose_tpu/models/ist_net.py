@@ -68,29 +68,95 @@ class BasicBlock(nn.Module):
         return nn.relu(x + y)
 
 
-class SelfAttention2d(nn.Module):
-    """Optional self-attention stage (the reference's SpatialTransformer with
-    self+cross attention collapsed to self-attention, resnet.py:174-315;
-    n_heads=0 disables it in the shipped config)."""
+class CrossAttention(nn.Module):
+    """Multi-head attention over token sequences; context=None degenerates to
+    self-attention (the stable-diffusion-derived CrossAttention the reference
+    embeds, resnet.py:174-224). Logits accumulate in f32 like the reference's
+    fp32 _ATTN_PRECISION path."""
+
+    query_dim: int
+    num_heads: int
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ctx = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        split = lambda t: t.reshape(t.shape[0], -1, self.num_heads, self.head_dim)
+        q, k, v = split(q), split(k), split(v)
+        sim = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * self.head_dim**-0.5
+        attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        o = o.reshape(o.shape[0], -1, inner)
+        return nn.Dense(self.query_dim, name="to_out")(o)
+
+
+class BasicTransformerBlock(nn.Module):
+    """norm -> self-attn -> norm -> cross-attn(context|self) -> norm -> GEGLU
+    feed-forward, all residual (resnet.py:227-252)."""
 
     dim: int
     num_heads: int
+    head_dim: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, context=None):
+        x = x + CrossAttention(self.dim, self.num_heads, self.head_dim,
+                               name="attn1")(nn.LayerNorm(name="norm1")(x))
+        x = x + CrossAttention(self.dim, self.num_heads, self.head_dim,
+                               name="attn2")(nn.LayerNorm(name="norm2")(x),
+                                             context=context)
+        h = nn.LayerNorm(name="norm3")(x)
+        # GEGLU feed-forward (resnet.py:76-104, glu=True)
+        hg = nn.Dense(self.dim * 4 * 2, name="ff_proj")(h)
+        h1, gate = jnp.split(hg, 2, axis=-1)
+        h = h1 * jax.nn.gelu(gate)
+        return x + nn.Dense(self.dim, name="ff_out")(h)
+
+
+class SpatialTransformer(nn.Module):
+    """The reference's full SpatialTransformer stage (resnet.py:256-315):
+    GroupNorm -> 1x1 proj_in -> transformer blocks (self + cross attention +
+    GEGLU FF) -> zero-initialized 1x1 proj_out -> residual. context=None makes
+    the cross-attention self-attention — exactly how the ResNet backbone calls
+    it (resnet.py:374-378); pass (B, N, C) context tokens to enable the
+    cross-attention variant. n_heads=0 in the shipped config disables the
+    stage entirely."""
+
+    dim: int
+    num_heads: int
+    depth: int = 1
+
+    @nn.compact
+    def __call__(self, x, context=None):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
-        h = h.reshape(B, H * W, C)
         hd = C // self.num_heads
-        q = nn.Dense(C, name="q")(h).reshape(B, -1, self.num_heads, hd)
-        k = nn.Dense(C, name="k")(h).reshape(B, -1, self.num_heads, hd)
-        v = nn.Dense(C, name="v")(h).reshape(B, -1, self.num_heads, hd)
-        attn = jax.nn.softmax(
-            jnp.einsum("bqhd,bkhd->bhqk", q * hd**-0.5, k).astype(jnp.float32), -1
-        ).astype(x.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, H * W, C)
-        o = nn.Dense(C, name="proj")(o).reshape(B, H, W, C)
-        return x + o
+        # reference hard-codes 32 groups (its dims are all multiples of 32,
+        # resnet.py:116); fall back to a divisor for tiny test configs
+        import math
+
+        ng = 32 if C % 32 == 0 else int(math.gcd(C, 32))
+        h = nn.GroupNorm(num_groups=max(ng, 1), epsilon=1e-6, name="norm")(x)
+        h = nn.Conv(self.num_heads * hd, (1, 1), name="proj_in")(h)
+        h = h.reshape(B, H * W, -1)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                self.num_heads * hd, self.num_heads, hd, name=f"block{d}"
+            )(h, context=context)
+        h = h.reshape(B, H, W, -1)
+        # zero-init proj_out: the stage starts as identity (resnet.py:296-300)
+        h = nn.Conv(C, (1, 1), kernel_init=nn.initializers.zeros,
+                    name="proj_out")(h)
+        return x + h
+
+
+# backwards-compatible alias (r1 name for the collapsed variant)
+SelfAttention2d = SpatialTransformer
 
 
 class ISTBackbone(nn.Module):

@@ -39,6 +39,14 @@ class ViTConfig:
     num_register_tokens: int = 0
     # fused Pallas attention (TPU): the (B, H, N, N) logits stay in VMEM
     fused_attention: bool = False
+    # mixed precision: "bfloat16" runs every matmul (qkv/proj/mlp/patch-embed)
+    # in bf16 on the MXU while LayerNorm, LayerScale, softmax, and the
+    # residual stream stay f32 (params are stored f32 and cast at use)
+    compute_dtype: Optional[str] = None
+
+    @property
+    def matmul_dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
 
 VIT_CONFIGS = {
@@ -67,13 +75,14 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     fused: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         H = self.num_heads
         hd = C // H
-        qkv = nn.Dense(3 * C, name="qkv")(x)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
         if self.fused:
@@ -83,20 +92,21 @@ class Attention(nn.Module):
         else:
             scale = hd ** -0.5
             attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
-        return nn.Dense(C, name="proj")(out)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
 class Mlp(nn.Module):
     dim: int
     hidden: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, name="fc2")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
 class SwiGLU(nn.Module):
@@ -104,12 +114,13 @@ class SwiGLU(nn.Module):
 
     dim: int
     hidden: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x12 = nn.Dense(2 * self.hidden, name="w12")(x)
+        x12 = nn.Dense(2 * self.hidden, dtype=self.dtype, name="w12")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
-        return nn.Dense(self.dim, name="w3")(nn.silu(x1) * x2)
+        return nn.Dense(self.dim, dtype=self.dtype, name="w3")(nn.silu(x1) * x2)
 
 
 class Block(nn.Module):
@@ -118,17 +129,19 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        h = Attention(c.embed_dim, c.num_heads, fused=c.fused_attention, name="attn")(h)
+        cdt = c.matmul_dtype
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = Attention(c.embed_dim, c.num_heads, fused=c.fused_attention,
+                      dtype=cdt, name="attn")(h)
         x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(h)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         hidden = int(c.embed_dim * c.mlp_ratio)
         if c.ffn_layer == "swiglu":
             # dinov2 rounds the swiglu hidden dim to a multiple of 8
             hidden = (int(hidden * 2 / 3) + 7) // 8 * 8
-            h = SwiGLU(c.embed_dim, hidden, name="mlp")(h)
+            h = SwiGLU(c.embed_dim, hidden, dtype=cdt, name="mlp")(h)
         else:
-            h = Mlp(c.embed_dim, hidden, name="mlp")(h)
+            h = Mlp(c.embed_dim, hidden, dtype=cdt, name="mlp")(h)
         x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls2")(h)
         return x
 
@@ -154,8 +167,10 @@ class ViT(nn.Module):
             (c.patch_size, c.patch_size),
             strides=(c.patch_size, c.patch_size),
             padding="VALID",
+            dtype=c.matmul_dtype,
             name="patch_embed",
         )(x)
+        x = x.astype(jnp.float32)
         x = x.reshape(B, gh * gw, c.embed_dim)
 
         cls = self.param(

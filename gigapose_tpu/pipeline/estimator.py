@@ -225,8 +225,10 @@ class GigaPoseEstimator:
         config: EstimatorConfig = EstimatorConfig(),
         ist_descriptor_size: int = 256,
         fused_attention: bool = False,
+        compute_dtype: str = None,
     ) -> "GigaPoseEstimator":
-        ae_net = AENet(model_name=model_name, fused_attention=fused_attention)
+        ae_net = AENet(model_name=model_name, fused_attention=fused_attention,
+                       compute_dtype=compute_dtype)
         ist_net = default_ist_net(descriptor_size=ist_descriptor_size)
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         dummy = jnp.zeros((1, 3, 224, 224), jnp.float32)

@@ -114,7 +114,8 @@ class CoarseRunner:
         rgbas, poses = [], []
         for obj_id in obj_ids:
             data = load_object_templates(
-                template_dir, obj_id, num_templates, scale_factor
+                template_dir, obj_id, num_templates, scale_factor,
+                as_uint8=True,  # 4x less host->HBM traffic; /255 on device
             )
             rgbas.append(data["rgba"])
             poses.append(data["poses"])

@@ -82,6 +82,22 @@ class TemplateStore:
         return self.ae_features.shape[1]
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("target_size", "num_patches"))
+def _onboard_prep(rgbas, boxes, target_size: int, num_patches: int):
+    if rgbas.dtype == jnp.uint8:
+        # uint8 templates transfer host->HBM at 1/4 the bytes (the relay is
+        # the onboarding bottleneck); convert on device
+        rgbas = rgbas.astype(jnp.float32) / 255.0
+    crops, Ms = crop_resize_pad(rgbas, boxes, target_size)
+    rgb = normalize_rgb(crops[:, :3])
+    mask_img = crops[:, 3]
+    masks = downsample_mask(mask_img, num_patches)
+    return rgb, mask_img, masks, Ms
+
+
 def onboard_object(
     ae_apply: Callable,
     ist_apply: Callable,
@@ -97,13 +113,14 @@ def onboard_object(
     features/masks/Ms. `chunk` bounds peak activation memory like the
     reference's forward_by_chunk (max_batch_size=64)."""
     V = rgbas.shape[0]
-    boxes = alpha_bboxes(np.asarray(rgbas[:, 3]))
-    crops, Ms = crop_resize_pad(
-        jnp.asarray(rgbas, jnp.float32), jnp.asarray(boxes), target_size
+    rgbas = np.asarray(rgbas)  # (V, 4, H, W) float [0,1] or uint8
+    boxes = alpha_bboxes(rgbas[:, 3])
+    # one jitted program for the whole prep — eager ops would each cost a
+    # compile + round trip on a remote (axon) backend
+    rgb, mask_img, masks, Ms = _onboard_prep(
+        jnp.asarray(rgbas), jnp.asarray(boxes),
+        target_size=target_size, num_patches=num_patches,
     )
-    rgb = normalize_rgb(crops[:, :3])
-    mask_img = crops[:, 3]
-    masks = downsample_mask(mask_img, num_patches)
 
     # software-pipelined staging: enqueue the device_put of chunk i+1 while the
     # nets chew on chunk i (jax dispatch is async, so the transfers overlap the

@@ -112,11 +112,20 @@ def main(argv=None):
                              n_sample_points=32),
         refiner_width=16, scorer_width=8,
     )
-    # perturbation range must cover the coarse stage's error distribution
+    # perturbation range must cover the coarse stage's error distribution;
+    # curriculum=true anneals it 1x -> 0.25x over training (fine corrections)
+    rot = float(kv.get("refiner_rot", 30.0))
+    txy = float(kv.get("refiner_xy", 0.02))
+    tz = float(kv.get("refiner_z", 0.04))
+    curriculum = kv.get("curriculum", "false").lower() == "true"
     refiner = train_refiner(
         refiner, np.asarray(TEMPLATE_K), steps=refiner_steps, batch_size=4,
-        lr=1e-3, log_every=max(refiner_steps // 4, 1),
-        perturb=PerturbConfig(rot_deg=30.0, trans_xy=0.02, trans_z=0.04),
+        lr=1e-3, log_every=max(refiner_steps // 4, 1), seed=seed,
+        perturb=PerturbConfig(rot_deg=rot, trans_xy=txy, trans_z=tz),
+        final_perturb=(
+            PerturbConfig(rot_deg=rot / 4, trans_xy=txy / 4, trans_z=tz / 4)
+            if curriculum else None
+        ),
     )
     init_path = find_init_pose_path(
         osp.join(save_dir, "predictions"), "tudl", "selfcheck", "0",
@@ -136,6 +145,8 @@ def main(argv=None):
 
     result = {
         "level": level,
+        "seed": seed,
+        "curriculum": curriculum,
         "coarse_steps": steps,
         "refiner_steps": refiner_steps,
         "coarse_t_err_mm": round(t_err_c, 2),

@@ -42,6 +42,48 @@ def test_convert_to_shards_roundtrip(tmp_path):
     assert src.lookup("nonexistent_key") is None
 
 
+def test_depth_noise_and_background_augmentations():
+    """The depth-noise family + background replacement (reference
+    augmentations.py:121-430; unused by gigapose training but carried)."""
+    from gigapose_tpu.dataloader import augment as A
+
+    rng = np.random.default_rng(0)
+    depth = np.zeros((48, 64), np.float32)
+    depth[10:40, 20:50] = 0.5
+
+    g = A.depth_gaussian_noise(depth, rng, std_dev=0.01)
+    assert g.shape == depth.shape and np.all(g[depth == 0] == 0) and np.all(g >= 0)
+    assert not np.allclose(g[depth > 0], depth[depth > 0])
+
+    c = A.depth_correlated_gaussian_noise(depth, rng)
+    assert np.all(c[depth == 0] == 0) and not np.allclose(c[depth > 0], 0.5)
+
+    m = A.depth_missing(depth, rng, max_missing_fraction=0.5)
+    assert (m > 0).sum() <= (depth > 0).sum()
+
+    assert np.all(A.depth_dropout(depth) == 0)
+
+    e = A.depth_ellipse_dropout(depth, rng, mean=8.0)
+    assert (e > 0).sum() < (depth > 0).sum()  # some ellipses landed
+
+    en = A.depth_ellipse_noise(depth, rng, mean=8.0, std_dev=0.05)
+    assert np.all(en[depth == 0] == 0) and not np.allclose(en[depth > 0], 0.5)
+
+    b = A.depth_blur(depth, rng)
+    assert b.shape == depth.shape
+    # box blur preserves the mean away from borders
+    np.testing.assert_allclose(b[15:35, 25:45], 0.5, atol=1e-6)
+
+    seg = (depth > 0).astype(np.int32)
+    bd = A.depth_background_dropout(depth, seg)
+    np.testing.assert_array_equal(bd, depth)  # background already 0
+
+    rgb = np.full((48, 64, 3), 100, np.uint8)
+    bgs = [np.full((8, 8, 3), 200, np.uint8)]
+    rep = A.replace_background(rgb, seg, bgs, rng)
+    assert np.all(rep[seg == 0] == 200) and np.all(rep[seg > 0] == 100)
+
+
 def test_vis_helpers(tmp_path):
     from gigapose_tpu.utils import vis
 

@@ -42,6 +42,27 @@ def test_bf16_store_preserves_topk():
     )
 
 
+def test_vit_bf16_compute_preserves_features():
+    """compute_dtype='bfloat16' (bf16 matmuls, f32 LN/residual/softmax)
+    leaves the L2-normalized patch features essentially unchanged — gate for
+    running the flagship ViT in mixed precision on the MXU."""
+    import jax
+
+    from gigapose_tpu.models.ae_net import AENet
+
+    ae32 = AENet(model_name="vit_tiny_test")
+    ae16 = AENet(model_name="vit_tiny_test", compute_dtype="bfloat16")
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, 56, 56)), jnp.float32
+    )
+    p = ae32.init(jax.random.PRNGKey(0), x)  # same params for both
+    f32 = np.asarray(ae32.apply(p, x))
+    f16 = np.asarray(ae16.apply(p, x))
+    assert f16.dtype == np.float32  # features come out f32 (L2-norm in f32)
+    cos = (f32 * f16).sum(-1)
+    assert cos.min() > 0.995
+
+
 def test_partial_load_torch_ist_backbone():
     """Load a torch-style state dict into the IST backbone with remapping and
     shape checks (the LoFTR warm-start path, ref train.py:84 + weight.py)."""
