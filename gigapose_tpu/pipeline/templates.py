@@ -82,20 +82,51 @@ class TemplateStore:
         return self.ae_features.shape[1]
 
 
-from functools import partial
+from functools import lru_cache, partial
 
 
-@partial(jax.jit, static_argnames=("target_size", "num_patches"))
-def _onboard_prep(rgbas, boxes, target_size: int, num_patches: int):
+def _onboard_prep_body(rgbas, boxes, target_size: int, num_patches: int):
     if rgbas.dtype == jnp.uint8:
         # uint8 templates transfer host->HBM at 1/4 the bytes (the relay is
-        # the onboarding bottleneck); convert on device
+        # an onboarding bottleneck); convert on device
         rgbas = rgbas.astype(jnp.float32) / 255.0
     crops, Ms = crop_resize_pad(rgbas, boxes, target_size)
     rgb = normalize_rgb(crops[:, :3])
     mask_img = crops[:, 3]
     masks = downsample_mask(mask_img, num_patches)
     return rgb, mask_img, masks, Ms
+
+
+_onboard_prep = partial(jax.jit, static_argnames=("target_size", "num_patches"))(
+    _onboard_prep_body
+)
+
+
+@lru_cache(maxsize=16)
+def _onboard_fn(ae_apply, ist_apply, target_size: int, num_patches: int,
+                chunk: int, V: int, feature_dtype):
+    """One jitted program for a whole object's onboarding: prep + chunked
+    AE/IST forwards (lax.map bounds activation memory like the reference's
+    forward_by_chunk) + feature cast. A single dispatch per object — on a
+    remote (axon) backend every eager op/dispatch costs a round trip, which
+    dominated the first measured onboarding throughput (ROUND_NOTES r2)."""
+    n_chunks = -(-V // chunk)
+    Vp = n_chunks * chunk
+
+    @jax.jit
+    def run(rgbas, boxes):
+        rgb, mask_img, masks, Ms = _onboard_prep_body(
+            rgbas, boxes, target_size, num_patches
+        )
+        rgbp = jnp.pad(rgb, ((0, Vp - V), (0, 0), (0, 0), (0, 0)))
+        chunks = rgbp.reshape(n_chunks, chunk, *rgb.shape[1:])
+        ae = jax.lax.map(ae_apply, chunks)  # (n_chunks, chunk, P, C)
+        ist = jax.lax.map(ist_apply, chunks)
+        ae = ae.reshape(Vp, *ae.shape[2:])[:V].astype(feature_dtype)
+        ist = ist.reshape(Vp, *ist.shape[2:])[:V].astype(feature_dtype)
+        return rgb, mask_img, masks, Ms, ae, ist
+
+    return run
 
 
 def onboard_object(
@@ -115,33 +146,13 @@ def onboard_object(
     V = rgbas.shape[0]
     rgbas = np.asarray(rgbas)  # (V, 4, H, W) float [0,1] or uint8
     boxes = alpha_bboxes(rgbas[:, 3])
-    # one jitted program for the whole prep — eager ops would each cost a
-    # compile + round trip on a remote (axon) backend
-    rgb, mask_img, masks, Ms = _onboard_prep(
-        jnp.asarray(rgbas), jnp.asarray(boxes),
-        target_size=target_size, num_patches=num_patches,
+    run = _onboard_fn(
+        ae_apply, ist_apply, target_size, num_patches, min(chunk, V), V,
+        np.dtype(feature_dtype),
     )
-
-    # software-pipelined staging: enqueue the device_put of chunk i+1 while the
-    # nets chew on chunk i (jax dispatch is async, so the transfers overlap the
-    # forward passes — the "double-buffered host->HBM staging" of the design)
-    def chunks():
-        for s in range(0, V, chunk):
-            e = min(s + chunk, V)
-            pad = chunk - (e - s)
-            yield e - s, jnp.pad(rgb[s:e], ((0, pad), (0, 0), (0, 0), (0, 0)))
-
-    ae_feats, ist_feats = [], []
-    it = chunks()
-    nxt = next(it, None)
-    while nxt is not None:
-        n, x = nxt
-        x = jax.device_put(x)
-        nxt = next(it, None)  # stage the next chunk before blocking on this one
-        ae_feats.append(ae_apply(x)[:n])
-        ist_feats.append(ist_apply(x)[:n])
-    ae_f = jnp.concatenate(ae_feats).astype(feature_dtype)
-    ist_f = jnp.concatenate(ist_feats).astype(feature_dtype)
+    rgb, mask_img, masks, Ms, ae_f, ist_f = run(
+        jnp.asarray(rgbas), jnp.asarray(boxes)
+    )
     return dict(
         ae_features=ae_f,
         ist_features=ist_f,

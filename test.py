@@ -56,10 +56,15 @@ def build_estimator(cfg, tiny: bool = False):
             config=est_cfg,
         )
 
+    cdt = str(cfg.model.get("compute_dtype") or "bf16")
     est = GigaPoseEstimator.create(
         model_name=cfg.model.ae_net.backbone,
         config=est_cfg,
         ist_descriptor_size=cfg.model.ist_net.descriptor_size,
+        # bf16 matmuls in the ViT (f32 LN/residual): 394 vs 229 crops/s on
+        # ViT-L (BENCH r2); set model.compute_dtype=f32 for strict
+        # checkpoint-parity evaluation
+        compute_dtype="bfloat16" if cdt in ("bf16", "bfloat16") else None,
     )
     ckpt = cfg.model.get("checkpoint_path")
     if ckpt and str(ckpt).endswith(".ckpt") and osp.exists(str(ckpt)):
