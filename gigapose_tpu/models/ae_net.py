@@ -25,6 +25,7 @@ class AENet(nn.Module):
     model_name: str = "dinov2_vitl14"
     fused_attention: bool = False  # Pallas fused attention (TPU)
     compute_dtype: str = None  # "bfloat16" -> bf16 matmuls (f32 LN/residual)
+    tp_mesh: object = None  # (dp, mp) Mesh for tensor parallelism (parallel.tp)
 
     @property
     def cfg(self) -> ViTConfig:
@@ -32,11 +33,13 @@ class AENet(nn.Module):
         if (
             self.fused_attention != base.fused_attention
             or self.compute_dtype != base.compute_dtype
+            or self.tp_mesh is not base.tp_mesh
         ):
             base = dataclasses.replace(
                 base,
                 fused_attention=self.fused_attention,
                 compute_dtype=self.compute_dtype,
+                tp_mesh=self.tp_mesh,
             )
         return base
 

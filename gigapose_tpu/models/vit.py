@@ -43,6 +43,11 @@ class ViTConfig:
     # in bf16 on the MXU while LayerNorm, LayerScale, softmax, and the
     # residual stream stay f32 (params are stored f32 and cast at use)
     compute_dtype: Optional[str] = None
+    # tensor parallelism: a (dp, mp) jax.sharding.Mesh. Params are sharded by
+    # parallel.tp (Megatron name rules); the one activation annotation the
+    # compiler can't infer — heads-on-"mp" for the qkv reshape — is applied in
+    # Attention. None = single-device/dp-only (the default).
+    tp_mesh: Any = None
 
     @property
     def matmul_dtype(self):
@@ -76,6 +81,7 @@ class Attention(nn.Module):
     num_heads: int
     fused: bool = False
     dtype: Any = None
+    tp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -84,6 +90,10 @@ class Attention(nn.Module):
         hd = C // H
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, hd)
+        if self.tp_mesh is not None:
+            from gigapose_tpu.parallel.tp import constrain_heads
+
+            qkv = constrain_heads(qkv, self.tp_mesh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
         if self.fused:
             from gigapose_tpu.ops.pallas_attention import fused_attention
@@ -132,7 +142,7 @@ class Block(nn.Module):
         cdt = c.matmul_dtype
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(c.embed_dim, c.num_heads, fused=c.fused_attention,
-                      dtype=cdt, name="attn")(h)
+                      dtype=cdt, tp_mesh=c.tp_mesh, name="attn")(h)
         x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         hidden = int(c.embed_dim * c.mlp_ratio)

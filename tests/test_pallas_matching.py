@@ -28,7 +28,11 @@ def _world(seed, B=3, O=2, V=6, npat=4, C=32):
     return tar, store, tmask, smask, labels
 
 
-def test_pallas_matches_xla_reference():
+import pytest
+
+
+@pytest.mark.parametrize("views_per_step", [None, 1, 2, 3])
+def test_pallas_matches_xla_reference(views_per_step):
     npat, k = 4, 3
     for seed in range(3):
         tar, store, tmask, smask, labels = _world(seed)
@@ -36,7 +40,7 @@ def test_pallas_matches_xla_reference():
             jnp.asarray(tar), jnp.asarray(store), jnp.asarray(tmask),
             jnp.asarray(smask), jnp.asarray(labels),
             k=k, sim_threshold=0.5, patch_threshold=1, num_patches=npat,
-            interpret=True,
+            interpret=True, views_per_step=views_per_step,
         )
         want = match_templates(
             jnp.asarray(tar),
