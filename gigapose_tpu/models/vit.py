@@ -61,8 +61,11 @@ VIT_CONFIGS = {
     "dinov2_vitg14": ViTConfig(
         embed_dim=1536, depth=40, num_heads=24, mlp_ratio=8 / 3, ffn_layer="swiglu"
     ),
-    # tiny config for CPU tests / smoke runs (not a reference model)
+    # tiny configs for CPU tests / smoke runs (not reference models)
     "vit_tiny_test": ViTConfig(embed_dim=64, depth=2, num_heads=2),
+    "vit_tiny_swiglu_test": ViTConfig(
+        embed_dim=64, depth=2, num_heads=2, mlp_ratio=8 / 3, ffn_layer="swiglu"
+    ),
 }
 
 

@@ -187,3 +187,88 @@ def onboard_templates(
         poses=stack("poses"),
         K=stack("K"),
     )
+
+
+@lru_cache(maxsize=16)
+def _onboard_fn_sharded(ae_apply, ist_apply, mesh, target_size: int,
+                        num_patches: int, chunk: int, V: int, feature_dtype):
+    """Object-parallel fused onboarding: the per-object program vmapped over
+    a leading object axis that is sharded on the mesh's "dp" axis — each
+    chip onboards its objects, the store is all-gathered (replicated) on the
+    way out, ready for data-parallel eval. This is the multi-chip equivalent
+    of the reference's num_gpus round-robin template rendering
+    (src/scripts/render_bop_templates.py:63)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_chunks = -(-V // chunk)
+    Vp = n_chunks * chunk
+
+    def one(rgbas, boxes):
+        rgb, mask_img, masks, Ms = _onboard_prep_body(
+            rgbas, boxes, target_size, num_patches
+        )
+        rgbp = jnp.pad(rgb, ((0, Vp - V), (0, 0), (0, 0), (0, 0)))
+        chunks = rgbp.reshape(n_chunks, chunk, *rgb.shape[1:])
+        ae = jax.lax.map(ae_apply, chunks)
+        ist = jax.lax.map(ist_apply, chunks)
+        ae = ae.reshape(Vp, *ae.shape[2:])[:V].astype(feature_dtype)
+        ist = ist.reshape(Vp, *ist.shape[2:])[:V].astype(feature_dtype)
+        return rgb, mask_img, masks, Ms, ae, ist
+
+    dp = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        jax.vmap(one),
+        in_shardings=(dp, dp),
+        out_shardings=repl,
+    )
+
+
+def onboard_templates_sharded(
+    ae_apply: Callable,
+    ist_apply: Callable,
+    rgbas_per_object,  # (O, V, 4, H, W) array or list of same-shape arrays
+    poses_per_object,  # (O, V, 4, 4)
+    mesh,  # jax.sharding.Mesh with a "dp" axis
+    Ks_per_object=None,
+    target_size: int = 224,
+    num_patches: int = 16,
+    chunk: int = 64,
+    feature_dtype=jnp.float32,
+) -> TemplateStore:
+    """Onboard objects in parallel across the mesh's "dp" devices.
+
+    Objects are padded to a multiple of the dp size (padding objects are
+    dropped from the returned store). All objects must share the template
+    count and image size — true for every template set (V views, fixed
+    render size)."""
+    rgbas = np.stack([np.asarray(r) for r in rgbas_per_object])
+    poses = np.stack([np.asarray(p) for p in poses_per_object])
+    O, V = rgbas.shape[:2]
+    n = mesh.shape["dp"]
+    Op = -(-O // n) * n
+    if Op != O:
+        pad = np.zeros((Op - O,) + rgbas.shape[1:], rgbas.dtype)
+        # padding objects keep a nonzero alpha pixel so alpha_bboxes stays
+        # well-defined; their rows are discarded below
+        pad[:, :, 3, 0, 0] = 1 if rgbas.dtype == np.uint8 else 1.0
+        rgbas = np.concatenate([rgbas, pad])
+    boxes = np.stack([alpha_bboxes(r[:, 3]) for r in rgbas])
+    run = _onboard_fn_sharded(
+        ae_apply, ist_apply, mesh, target_size, num_patches,
+        min(chunk, V), V, np.dtype(feature_dtype),
+    )
+    _, _, masks, Ms, ae_f, ist_f = run(jnp.asarray(rgbas), jnp.asarray(boxes))
+    K = (
+        np.stack([np.asarray(k) for k in Ks_per_object])
+        if Ks_per_object is not None
+        else np.tile(np.asarray(TEMPLATE_K, np.float32), (O, 1, 1))
+    )
+    return TemplateStore(
+        ae_features=ae_f[:O],
+        ist_features=ist_f[:O],
+        masks=masks[:O].astype(jnp.float32),
+        Ms=Ms[:O],
+        poses=jnp.asarray(poses, jnp.float32),
+        K=jnp.asarray(K, jnp.float32),
+    )

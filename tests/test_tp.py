@@ -24,8 +24,8 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _setup():
-    ae = AENet(model_name="vit_tiny_test")
+def _setup(model="vit_tiny_test"):
+    ae = AENet(model_name=model)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(8, 3, 224, 224)), jnp.float32
     )
@@ -34,11 +34,19 @@ def _setup():
     return x, params, np.asarray(ref)
 
 
-@pytest.mark.parametrize("dp,mp", [(1, 8), (2, 4), (4, 2)])
-def test_tp_forward_matches_single_device(dp, mp):
-    x, params, ref = _setup()
+@pytest.mark.parametrize(
+    "dp,mp,model",
+    [
+        (1, 8, "vit_tiny_test"),
+        (2, 4, "vit_tiny_test"),
+        (4, 2, "vit_tiny_test"),
+        (2, 4, "vit_tiny_swiglu_test"),  # ViT-G FFN path (w12/w3)
+    ],
+)
+def test_tp_forward_matches_single_device(dp, mp, model):
+    x, params, ref = _setup(model)
     mesh = make_dp_mp_mesh(dp, mp)
-    ae_tp = AENet(model_name="vit_tiny_test", tp_mesh=mesh)
+    ae_tp = AENet(model_name=model, tp_mesh=mesh)
     p_sharded = shard_params_tp(params, mesh)
     x_sharded = jax.device_put(
         x, NamedSharding(mesh, P("dp" if dp > 1 else None))
