@@ -135,6 +135,24 @@ def main(argv=None):
     template_dir = cfg.data.template.dir if cfg.get("data") and cfg.data.template.dir else osp.join(
         root, "templates", ds
     )
+    # on-the-fly onboarding (BOP'24 model-based unseen, SURVEY §7 stage 8):
+    # when no rendered template set exists but the dataset ships CAD models,
+    # render the icosphere views in-process with the native rasterizer and
+    # proceed straight to feature onboarding (reference: on-the-fly
+    # render_bop_templates + set_template_data for new objects)
+    cad_dir = osp.join(root, ds, "models")
+    if not osp.isdir(template_dir) and osp.isdir(cad_dir):
+        from gigapose_tpu.scripts import render_templates
+
+        level = (
+            cfg.data.template.level_templates
+            if cfg.get("data") and cfg.data.template.get("level_templates")
+            else 1
+        )
+        print(f"No template set at {template_dir}; rendering from {cad_dir}")
+        render_templates.main(
+            [f"cad_dir={cad_dir}", f"out_dir={template_dir}", f"level={level}"]
+        )
     import jax
     import jax.numpy as jnp
 

@@ -109,3 +109,39 @@ def test_cli_detection_setting(tmp_path, monkeypatch):
         os.path.join(pred_dir, "large-pbrreal-rgb-mmodel_tudl-test_det.csv")
     )
     assert len(top1) == 2 and sorted(r["obj_id"] for r in top1) == [1, 2]
+
+
+def test_cli_onthefly_template_rendering(tmp_path, monkeypatch):
+    """SURVEY §7 stage 8: no rendered template set on disk -> test.py renders
+    the icosphere views from the dataset's CAD models with the native
+    rasterizer, onboards, and runs (BOP'24 model-based-unseen onboarding)."""
+    import shutil
+
+    root = synthetic_bop.build(str(tmp_path))
+    shutil.rmtree(os.path.join(root, "datasets", "templates"))
+    monkeypatch.setenv("GIGAPOSE_TINY", "1")
+
+    import test as test_cli
+
+    test_cli.main(
+        [
+            f"machine.root_dir={root}",
+            "test_dataset_name=tudl",
+            "run_id=fly",
+            "data.template.num_templates=8",
+            "data.template.level_templates=0",  # 42 views: keep CPU cost low
+        ]
+    )
+    # the rendered set landed in the reference layout and inference ran
+    tdir = os.path.join(root, "datasets", "templates", "tudl")
+    assert os.path.isdir(os.path.join(tdir, "000001"))
+    assert os.path.exists(os.path.join(tdir, "object_poses", "000001.npy"))
+    from gigapose_tpu.dataloader import bop_io
+
+    pred_dir = os.path.join(root, "results", "large_fly", "predictions")
+    top1 = bop_io.load_bop_csv(
+        os.path.join(pred_dir, "large-pbrreal-rgb-mmodel_tudl-test_fly.csv")
+    )
+    assert len(top1) == 2
+    for row in top1:
+        assert np.isfinite(row["R"]).all() and np.isfinite(row["t"]).all()
