@@ -156,6 +156,14 @@ def main():
     _ = np.asarray(out.poses)  # compile + warmup; host fetch forces completion
 
     profile_dir = os.environ.get("GIGAPOSE_BENCH_PROFILE")
+    if profile_dir and os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # profiling needs a local backend; the remote axon relay has no
+        # profiler endpoint and start_trace hangs the session (measured r2).
+        # The hook itself is validated on the CPU backend (trace files in
+        # plugins/profile/...).
+        print("[bench] GIGAPOSE_BENCH_PROFILE ignored on the axon relay",
+              file=sys.stderr, flush=True)
+        profile_dir = None
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
