@@ -50,20 +50,23 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
+    dtype: object = None  # bf16 convs on the MXU; BatchNorm/residual stay f32
 
     @nn.compact
     def __call__(self, x, train: bool):
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name=name
         )
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1,
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.relu(norm("bn1")(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if self.stride != 1:
             x = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
-                        use_bias=False, name="down_conv")(x)
+                        use_bias=False, dtype=self.dtype, name="down_conv")(x)
             x = norm("down_bn")(x)
         return nn.relu(x + y)
 
@@ -167,24 +170,32 @@ class ISTBackbone(nn.Module):
     descriptor_size: int = 256
     input_size: int = 256
     num_attn_heads: int = 0
+    # "bfloat16" runs every conv on the MXU in bf16 while BatchNorm, the
+    # residual stream, and the output descriptors stay f32 (same policy as
+    # the ViT's compute_dtype; the IST forward was 6.15 ms of the 14.2 ms
+    # ViT-S pipeline at f32 — BENCH r2)
+    compute_dtype: str = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         x = jnp.transpose(images, (0, 2, 3, 1))  # NHWC
         x = resize_bilinear_align_corners(x, (self.input_size, self.input_size))
         x = nn.Conv(self.initial_dim, (7, 7), strides=(2, 2), padding=3,
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=cdt, name="conv1")(x)
         x = nn.relu(
-            nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x)
+            nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32, name="bn1")(x)
         )
         for i, (dim, stride) in enumerate(zip(self.block_dims, (1, 2, 2, 2))):
-            x = BasicBlock(dim, stride, name=f"layer{i + 1}_0")(x, train)
-            x = BasicBlock(dim, 1, name=f"layer{i + 1}_1")(x, train)
+            x = BasicBlock(dim, stride, dtype=cdt, name=f"layer{i + 1}_0")(x, train)
+            x = BasicBlock(dim, 1, dtype=cdt, name=f"layer{i + 1}_1")(x, train)
             if self.num_attn_heads > 0 and i in (1, 3):
                 x = SelfAttention2d(dim, self.num_attn_heads, name=f"attention{i//2 + 1}")(x)
-        x = nn.Conv(self.descriptor_size, (1, 1), use_bias=False, name="out_conv")(x)
+        x = nn.Conv(self.descriptor_size, (1, 1), use_bias=False, dtype=cdt,
+                    name="out_conv")(x)
         B, H, W, C = x.shape
-        return x.reshape(B, H * W, C)
+        return x.reshape(B, H * W, C).astype(jnp.float32)
 
 
 class Regressor(nn.Module):
@@ -263,8 +274,16 @@ def fill_invalid(result: ISTResult, fill: float = -1000.0):
     return scale, cossin
 
 
-def default_ist_net(descriptor_size: int = 256, num_attn_heads: int = 0) -> ISTNet:
+def default_ist_net(
+    descriptor_size: int = 256,
+    num_attn_heads: int = 0,
+    compute_dtype: str = None,
+) -> ISTNet:
     return ISTNet(
-        backbone=ISTBackbone(descriptor_size=descriptor_size, num_attn_heads=num_attn_heads),
+        backbone=ISTBackbone(
+            descriptor_size=descriptor_size,
+            num_attn_heads=num_attn_heads,
+            compute_dtype=compute_dtype,
+        ),
         regressor=Regressor(hidden_dim=descriptor_size),
     )

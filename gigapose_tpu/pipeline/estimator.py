@@ -229,7 +229,9 @@ class GigaPoseEstimator:
     ) -> "GigaPoseEstimator":
         ae_net = AENet(model_name=model_name, fused_attention=fused_attention,
                        compute_dtype=compute_dtype)
-        ist_net = default_ist_net(descriptor_size=ist_descriptor_size)
+        ist_net = default_ist_net(
+            descriptor_size=ist_descriptor_size, compute_dtype=compute_dtype
+        )
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         dummy = jnp.zeros((1, 3, 224, 224), jnp.float32)
         dummy_pts = jnp.zeros((1, 4, 2), jnp.float32)

@@ -113,3 +113,28 @@ def test_partial_load_torch_ist_backbone():
     np.testing.assert_allclose(
         new_params["layer1_0"]["conv2"]["kernel"], params["layer1_0"]["conv2"]["kernel"]
     )
+
+
+def test_ist_bf16_compute_preserves_features():
+    """ISTBackbone compute_dtype='bfloat16' (bf16 convs, f32 BatchNorm/
+    residual/output) keeps the descriptor grid close to f32 — gate for the
+    mixed-precision IST default (the IST forward was 43% of the ViT-S
+    pipeline at f32, BENCH r2)."""
+    import jax
+
+    from gigapose_tpu.models.ist_net import ISTBackbone
+
+    kw = dict(initial_dim=16, block_dims=(16, 16, 24, 32),
+              descriptor_size=32, input_size=64)
+    b32 = ISTBackbone(**kw)
+    b16 = ISTBackbone(**kw, compute_dtype="bfloat16")
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 3, 56, 56)), jnp.float32
+    )
+    v = b32.init(jax.random.PRNGKey(0), x)  # same params/stats for both
+    f32 = np.asarray(b32.apply(v, x))
+    f16 = np.asarray(b16.apply(v, x))
+    assert f16.dtype == np.float32
+    denom = np.linalg.norm(f32, axis=-1) * np.linalg.norm(f16, axis=-1)
+    cos = (f32 * f16).sum(-1) / np.clip(denom, 1e-12, None)
+    assert cos.min() > 0.99
