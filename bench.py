@@ -117,7 +117,10 @@ def bench_onboarding(model: str):
 
 def main():
     model = os.environ.get("GIGAPOSE_BENCH_MODEL", "dinov2_vits14")
-    B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", "16"))
+    # measured batch sweet spots (ROUND_NOTES r2): ViT-S peaks at B=32
+    # (1322 vs 1221 crops/s), ViT-L at B=16 (433 vs 364)
+    default_b = "32" if "vits" in model else "16"
+    B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", default_b))
     iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "20"))
     watchdog = _arm_watchdog(model, B)
 
