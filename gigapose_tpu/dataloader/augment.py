@@ -184,7 +184,11 @@ def depth_blur(depth: np.ndarray, rng: np.random.Generator,
                factor_interval: Tuple[int, int] = (3, 7)) -> np.ndarray:
     """Box blur (ref :368-377; cv2.blur == uniform box filter)."""
     k = int(rng.integers(factor_interval[0], factor_interval[1] + 1))
-    pad = k // 2
+    # cv2.blur anchors the kernel at (k//2, k//2): the window for output
+    # pixel i spans [i - k//2, i + (k-1)//2], so padding is asymmetric for
+    # even k (k//2 before, (k-1)//2 after) — this keeps the output the same
+    # shape as the input for every k, matching cv2.
+    pad = ((k // 2, (k - 1) // 2), (k // 2, (k - 1) // 2))
     padded = np.pad(depth, pad, mode="edge").astype(np.float64)
     # separable box filter via cumulative sums
     c = np.cumsum(padded, axis=0)

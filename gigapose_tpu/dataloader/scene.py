@@ -151,7 +151,10 @@ class TarSceneSource:
         if self.key_index is None or key not in self.key_index:
             return None
         path = osp.join(self.shard_dir, f"shard-{int(self.key_index[key]):06d}.tar")
-        if not osp.exists(path):
+        # Honor the constructor's blacklist: self.shards is the already
+        # blacklist-filtered set, so a resolved shard outside it must not be
+        # served through random access either (matches __iter__ semantics).
+        if path not in self.shards or not osp.exists(path):
             return None
         parts = {}
         with tarfile.open(path) as tf:

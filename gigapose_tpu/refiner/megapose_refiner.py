@@ -286,7 +286,7 @@ class MegaposeRefiner:
         """Returns (refined TCO (B, 4, 4), pose scores (B,))."""
         crop_step, view_crop_K, update_step, score_step, _ = self._device_steps()
         cfg = self.config
-        n_it = n_iterations or cfg.n_iterations
+        n_it = cfg.n_iterations if n_iterations is None else n_iterations
         points = self._points(labels)
         imgs = jnp.asarray(images, jnp.float32)
         Kd = jnp.asarray(K, jnp.float32)

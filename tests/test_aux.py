@@ -41,6 +41,13 @@ def test_convert_to_shards_roundtrip(tmp_path):
         np.testing.assert_array_equal(got.rgb, want.rgb)
     assert src.lookup("nonexistent_key") is None
 
+    # lookup honors the blacklist just like sequential iteration: a key
+    # resolving into a blacklisted shard must return None
+    first_key = dir_obs[0].key
+    shard_id = json.load(open(os.path.join(out, "key_to_shard.json")))[first_key]
+    blocked = TarSceneSource(out, blacklist=[f"shard-{int(shard_id):06d}.tar"])
+    assert blocked.lookup(first_key) is None
+
 
 def test_depth_noise_and_background_augmentations():
     """The depth-noise family + background replacement (reference
@@ -69,10 +76,12 @@ def test_depth_noise_and_background_augmentations():
     en = A.depth_ellipse_noise(depth, rng, mean=8.0, std_dev=0.05)
     assert np.all(en[depth == 0] == 0) and not np.allclose(en[depth > 0], 0.5)
 
-    b = A.depth_blur(depth, rng)
-    assert b.shape == depth.shape
-    # box blur preserves the mean away from borders
-    np.testing.assert_allclose(b[15:35, 25:45], 0.5, atol=1e-6)
+    # every kernel size in the default interval, incl. even k (asymmetric pad)
+    for k in range(3, 8):
+        b = A.depth_blur(depth, rng, factor_interval=(k, k))
+        assert b.shape == depth.shape, f"k={k}"
+        # box blur preserves the mean away from borders
+        np.testing.assert_allclose(b[15:35, 25:45], 0.5, atol=1e-6)
 
     seg = (depth > 0).astype(np.int32)
     bd = A.depth_background_dropout(depth, seg)
