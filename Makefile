@@ -26,3 +26,10 @@ dryrun:
 	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 		XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 		python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+parity:  # real-data parity runbook (downloads weights/data; see parity.py)
+	python -m gigapose_tpu.scripts.parity mode=real root_dir=$(ROOT) dataset=$(DS)
+
+parity-dryrun:  # same chain on the synthetic fixture (runs on this box)
+	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+		python -m gigapose_tpu.scripts.parity mode=dryrun

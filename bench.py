@@ -4,20 +4,27 @@ Measures the full jitted pipeline per BASELINE.json's north star — DINOv2
 patch features + dense 162-template patch matching + IST regression +
 one-correspondence RANSAC + closed-form 6D recovery per detection crop.
 
+A plain `python bench.py` measures BOTH backbones in their shipping
+configurations and prints one JSON line each: dinov2_vits14 first, then
+dinov2_vitl14 — the reference's *default* backbone
+(/root/reference/configs/model/ae_net/dinov2_l.yaml:2) — LAST, so the
+driver-parsed headline line is the honest reference-default number.
+
 Baseline: the reference repo publishes no absolute throughput (BASELINE.md);
 the paper (arXiv 2311.14155) reports the coarse stage at ~48 ms/image on a
 V100 for the BOP'23 suite — about 2.6 detections/image on LM-O -> ~54
 crops/sec; we use 54 crops/sec as the PyTorch-reference yardstick for
 `vs_baseline` and note it is an estimate, not a measured A100 number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Env knobs: GIGAPOSE_BENCH_MODEL (default dinov2_vits14),
-GIGAPOSE_BENCH_BATCH (default 16), GIGAPOSE_BENCH_ITERS (default 20),
-GIGAPOSE_BENCH_PALLAS / GIGAPOSE_BENCH_FUSED_ATTN / GIGAPOSE_BENCH_BF16
-(kernel/dtype variants), GIGAPOSE_BENCH_MODE=onboarding (measures template
-feature precompute s/object instead — the reference logs the same metric at
-src/models/gigaPose.py:396-398).
+Env knobs: GIGAPOSE_BENCH_MODEL (force a single backbone),
+GIGAPOSE_BENCH_BATCH (default: the per-model measured sweet spot),
+GIGAPOSE_BENCH_ITERS (default 20), GIGAPOSE_BENCH_PALLAS /
+GIGAPOSE_BENCH_FUSED_ATTN / GIGAPOSE_BENCH_BF16 / GIGAPOSE_BENCH_VIT_BF16
+(kernel/dtype variants), GIGAPOSE_BENCH_MODE=onboarding (template feature
+precompute s/object — the reference logs the same metric at
+src/models/gigaPose.py:396-398), GIGAPOSE_BENCH_MODE=train (training step
+steps/s + MFU — the reference's train.py:20-104 counterpart, BASELINE
+config 5).
 """
 
 from __future__ import annotations
@@ -30,20 +37,19 @@ import time
 import numpy as np
 
 
-def _arm_watchdog(model: str, B: int):
+def _arm_watchdog(label: str):
     """The axon TPU tunnel can wedge (device init then hangs indefinitely —
     observed in round 1). Emit a sentinel JSON line and exit instead of
     hanging the driver."""
     import threading
 
-    t = float(os.environ.get("GIGAPOSE_BENCH_WATCHDOG_S", "900"))
+    t = float(os.environ.get("GIGAPOSE_BENCH_WATCHDOG_S", "1800"))
 
     def fire():
         print(
             json.dumps(
                 {
-                    "metric": f"coarse query crops/sec ({model}, B={B}, 162 templates)"
-                              " [WATCHDOG: TPU session hung, no measurement]",
+                    "metric": f"{label} [WATCHDOG: TPU session hung, no measurement]",
                     "value": 0.0,
                     "unit": "crops/s",
                     "vs_baseline": 0.0,
@@ -115,37 +121,85 @@ def bench_onboarding(model: str):
     )
 
 
-def main():
-    model = os.environ.get("GIGAPOSE_BENCH_MODEL", "dinov2_vits14")
-    # measured batch sweet spots (ROUND_NOTES r2): ViT-S peaks at B=32
-    # (1322 vs 1221 crops/s), ViT-L at B=16 (433 vs 364)
+def bench_train(model: str):
+    """Training-step throughput (BASELINE config 5; the reference counterpart
+    is the PL-DDP loop at /root/reference/train.py:20-104). Reports steps/s;
+    vs_baseline carries the measured MFU (no published reference number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gigapose_tpu.models.ae_net import AENet
+    from gigapose_tpu.models.ist_net import default_ist_net
+    from gigapose_tpu.training.state import (
+        OptimConfig, TrainBatch, create_train_state, train_step,
+    )
+
+    B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", "12"))  # ref machine batch 12
+    iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "10"))
+    on_tpu = jax.default_backend() == "tpu"
+    vit_bf16 = os.environ.get("GIGAPOSE_BENCH_VIT_BF16", "1" if on_tpu else "0") == "1"
+    compute_dtype = "bfloat16" if vit_bf16 else None
+
+    ae_net = AENet(model_name=model, compute_dtype=compute_dtype)
+    ist_net = default_ist_net(compute_dtype=compute_dtype)
+    cfg = OptimConfig()
+    state, tx = create_train_state(ae_net, ist_net, jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    P = 256
+    pts = rng.integers(0, 16, size=(B, P, 2)).astype(np.float32)
+    pts[:, P // 2:] = -1.0  # half the correspondences invalid, like real pairs
+    batch = TrainBatch(
+        src_img=jnp.asarray(rng.normal(size=(B, 3, 224, 224)), jnp.float32),
+        tar_img=jnp.asarray(rng.normal(size=(B, 3, 224, 224)), jnp.float32),
+        src_pts=jnp.asarray(pts),
+        tar_pts=jnp.asarray(pts),
+        rel_scale=jnp.ones((B,), jnp.float32),
+        rel_inplane=jnp.zeros((B,), jnp.float32),
+    )
+
+    import functools
+    jfn = jax.jit(functools.partial(train_step, ae_net, ist_net, tx, cfg))
+    lowered = jfn.lower(state, batch)
+    compiled = lowered.compile()
+    try:
+        flops_per_step = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_step = 0.0
+
+    state, metrics = jfn(state, batch)
+    _ = np.asarray(metrics["total"])  # compile+warm; host fetch is the fence
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = jfn(state, batch)
+    _ = np.asarray(metrics["total"])
+    dt = time.perf_counter() - t0
+    steps_per_s = iters / dt
+    peak = 197e12 if on_tpu else 0  # v5e bf16 peak
+    mfu = (flops_per_step * steps_per_s / peak) if peak else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"train step throughput ({model}, B={B}, "
+                    f"{'bf16' if vit_bf16 else 'f32'}) [vs_baseline = MFU; "
+                    "no published reference number]"
+                ),
+                "value": round(steps_per_s, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(mfu, 3),
+            }
+        )
+    )
+
+
+def bench_coarse(model: str, watchdog=None):
+    import jax
+
+    # measured batch sweet spots (ROUND_NOTES r2/r3)
     default_b = "32" if "vits" in model else "16"
     B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", default_b))
     iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "20"))
-    watchdog = _arm_watchdog(model, B)
-
-    import jax
-
-    cache_dir = os.environ.get("GIGAPOSE_COMPILE_CACHE", "/tmp/gigapose_jax_cache")
-    if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    if os.environ.get("GIGAPOSE_BENCH_MODE") == "onboarding":
-        bench_onboarding(model)
-        watchdog.cancel()
-        return
-
-    # A plain `python bench.py` measures the SHIPPING configuration: on TPU
-    # that is Pallas fused matching + bf16 template store + bf16 ViT matmuls
-    # (the defaults test.py resolves from the model configs; each justified by
-    # the BENCH r2 sweep in ROUND_NOTES.md).  Set the env knobs to 0 to
-    # measure the XLA/f32 fallbacks.
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        os.environ.setdefault("GIGAPOSE_BENCH_PALLAS", "1")
-        os.environ.setdefault("GIGAPOSE_BENCH_BF16", "1")
-        os.environ.setdefault("GIGAPOSE_BENCH_VIT_BF16", "1")
 
     from __graft_entry__ import _coarse_setup
 
@@ -181,7 +235,6 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
-    watchdog.cancel()
     crops_per_sec = B * iters / dt
     baseline = 54.0  # estimated reference coarse crops/sec (see module docstring)
     print(
@@ -192,8 +245,48 @@ def main():
                 "unit": "crops/s",
                 "vs_baseline": round(crops_per_sec / baseline, 2),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    forced_model = os.environ.get("GIGAPOSE_BENCH_MODEL")
+    mode = os.environ.get("GIGAPOSE_BENCH_MODE", "coarse")
+    watchdog = _arm_watchdog(f"bench mode={mode}")
+
+    import jax
+
+    cache_dir = os.environ.get("GIGAPOSE_COMPILE_CACHE", "/tmp/gigapose_jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # A plain `python bench.py` measures the SHIPPING configuration: on TPU
+    # that is Pallas fused matching + bf16 template store + bf16 ViT matmuls
+    # (the defaults test.py resolves from the model configs; each justified by
+    # the BENCH sweeps in ROUND_NOTES.md). Set the env knobs to 0 to measure
+    # the XLA/f32 fallbacks.
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        os.environ.setdefault("GIGAPOSE_BENCH_PALLAS", "1")
+        os.environ.setdefault("GIGAPOSE_BENCH_BF16", "1")
+        os.environ.setdefault("GIGAPOSE_BENCH_VIT_BF16", "1")
+
+    if mode == "onboarding":
+        bench_onboarding(forced_model or "dinov2_vits14")
+    elif mode == "train":
+        for model in [forced_model] if forced_model else [
+            "dinov2_vits14", "dinov2_vitl14",
+        ]:
+            bench_train(model)
+    else:
+        # ViT-L (the reference default) last -> it is the driver headline
+        for model in [forced_model] if forced_model else [
+            "dinov2_vits14", "dinov2_vitl14",
+        ]:
+            bench_coarse(model)
+    watchdog.cancel()
 
 
 if __name__ == "__main__":

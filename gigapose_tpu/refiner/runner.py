@@ -153,3 +153,89 @@ def run_refinement(
     return bop_io.merge_batched_predictions(
         pred_dir, dataset_name, model_name, run_id, is_refined=True
     )
+
+
+def run_so3_coarse_refinement(
+    refiner,  # MegaposeRefiner (needs classify_coarse)
+    scene_source,
+    root_dir: str,
+    save_dir: str,
+    dataset_name: str,
+    model_name: str = "large",
+    run_id="0",
+    grid_size: int = 576,
+    chunk_size: int = 8,
+    max_images: Optional[int] = None,
+    max_dets_per_image: int = 16,
+) -> List[str]:
+    """Detections-only pipeline: SO(3)-grid coarse hypothesis classification
+    followed by render-and-compare refinement — the reference's
+    forward_coarse_model path (src/megapose/inference/pose_estimator.py:322+),
+    which GigaPose itself bypasses by supplying its own coarse poses. No init
+    csv: hypotheses come from scoring every rotation of the M-point grid
+    (assets/so3_grid_{72,576}.qua) per CNOS detection."""
+    _, dets_per_image = bop_io.load_cnos_detections(
+        root_dir, dataset_name, test_setting="detection"
+    )
+
+    pred_dir = osp.join(save_dir, "predictions_refined")
+    os.makedirs(pred_dir, exist_ok=True)
+    for f in os.listdir(pred_dir):
+        if f.endswith(".npz"):
+            os.remove(osp.join(pred_dir, f))
+
+    timer = Timer()
+    n_img = 0
+    for batch_id, obs in enumerate(scene_source):
+        dets = dets_per_image.get(obs.key, [])
+        if not dets:
+            continue
+        if max_images is not None and n_img >= max_images:
+            break
+        n_img += 1
+        dets = sorted(dets, key=lambda d: -d.get("score", 0.0))
+        dets = dets[:max_dets_per_image]
+        timer.tic()
+        img = obs.rgb.astype(np.float32).transpose(2, 0, 1)[None] / 255.0
+        B = len(dets)
+        images = np.repeat(img, B, axis=0)
+        K = np.tile(obs.K[None], (B, 1, 1)).astype(np.float32)
+        labels = np.array(
+            [int(d.get("category_id", d.get("obj_id"))) for d in dets], np.int32
+        )
+        boxes = np.zeros((B, 4), np.float32)  # COCO xywh -> xyxy
+        for i, d in enumerate(dets):
+            x, y, w, h = d["bbox"]
+            boxes[i] = (x, y, x + w, y + h)
+
+        TCO_init, _ = refiner.classify_coarse(
+            images, K, labels, boxes, top_k=1, grid_size=grid_size
+        )
+        TCO_init = TCO_init[:, 0]  # (B, 4, 4)
+        refined = np.zeros_like(TCO_init)
+        pose_scores = np.zeros(B, np.float32)
+        for s in range(0, B, chunk_size):
+            e = min(s + chunk_size, B)
+            refined[s:e], pose_scores[s:e] = refiner.refine_batch(
+                images[s:e], K[s:e], labels[s:e], TCO_init[s:e]
+            )
+        elapsed = timer.toc()
+
+        poses_mm = refined.copy()
+        poses_mm[:, :3, 3] *= 1000.0
+        np.savez(
+            osp.join(pred_dir, f"{batch_id:06d}.npz"),
+            scene_id=np.full(B, obs.scene_id, np.int32),
+            im_id=np.full(B, obs.im_id, np.int32),
+            object_id=labels,
+            poses=poses_mm,
+            scores=pose_scores,
+            time=np.full(B, float(dets[0].get("time", 0.0))),
+            refinement_time=np.full(B, elapsed),
+        )
+    logger.info(
+        f"SO(3)-grid ({grid_size}) classified + refined {n_img} images"
+    )
+    return bop_io.merge_batched_predictions(
+        pred_dir, dataset_name, model_name, run_id, is_refined=True
+    )

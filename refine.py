@@ -29,10 +29,16 @@ def main(argv=None):
         cfg.machine.root_dir, "results", f"{cfg.model.model_name}_{cfg.run_id}"
     )
     pred_dir = osp.join(save_dir, "predictions")
-    init_path = cfg.get("init_loc_path") or find_init_pose_path(
-        pred_dir, ds, cfg.model.model_name, cfg.run_id,
-        use_multiple=bool(cfg.use_multiple),
-    )
+    # coarse_mode=so3grid: hypotheses from SO(3)-grid classification over CNOS
+    # detections (the reference's forward_coarse_model path) instead of the
+    # coarse csv — forces the megapose refiner architecture
+    coarse_mode = str(cfg.get("coarse_mode") or "csv")
+    init_path = None
+    if coarse_mode == "csv":
+        init_path = cfg.get("init_loc_path") or find_init_pose_path(
+            pred_dir, ds, cfg.model.model_name, cfg.run_id,
+            use_multiple=bool(cfg.use_multiple),
+        )
 
     cad_name = "models_cad" if ds == "tless" else "models"
     cad_dir = osp.join(root, ds, cad_name)
@@ -45,7 +51,9 @@ def main(argv=None):
     tiny = bool(int(os.environ.get("GIGAPOSE_TINY", "0")))
     mp_refiner_ckpt = cfg.get("megapose_refiner_ckpt")
     mp_coarse_ckpt = cfg.get("megapose_coarse_ckpt")
-    if mp_refiner_ckpt or mp_coarse_ckpt or cfg.get("refiner_type") == "megapose":
+    if (mp_refiner_ckpt or mp_coarse_ckpt
+            or cfg.get("refiner_type") == "megapose"
+            or coarse_mode == "so3grid"):
         # released-checkpoint architecture: WideResNet34 twins, (240, 320)
         # crops, rgb+normals renders (ref: refiner_utils.py:56-116)
         from gigapose_tpu.refiner.megapose_refiner import (
@@ -93,17 +101,32 @@ def main(argv=None):
         if has_tar
         else DirSceneSource(split_dir, load_depth=False, load_masks=False)
     )
-    paths = run_refinement(
-        refiner,
-        source,
-        init_path,
-        save_dir=save_dir,
-        dataset_name=ds,
-        model_name=cfg.model.model_name,
-        run_id=cfg.run_id,
-        max_images=cfg.get("max_images"),
-        min_score=cfg["min_score"] if "min_score" in cfg else 0.25,
-    )
+    if coarse_mode == "so3grid":
+        from gigapose_tpu.refiner.runner import run_so3_coarse_refinement
+
+        paths = run_so3_coarse_refinement(
+            refiner,
+            source,
+            root_dir=osp.join(cfg.machine.root_dir, "datasets"),
+            save_dir=save_dir,
+            dataset_name=ds,
+            model_name=cfg.model.model_name,
+            run_id=cfg.run_id,
+            grid_size=int(cfg.get("so3_grid_size") or 576),
+            max_images=cfg.get("max_images"),
+        )
+    else:
+        paths = run_refinement(
+            refiner,
+            source,
+            init_path,
+            save_dir=save_dir,
+            dataset_name=ds,
+            model_name=cfg.model.model_name,
+            run_id=cfg.run_id,
+            max_images=cfg.get("max_images"),
+            min_score=cfg["min_score"] if "min_score" in cfg else 0.25,
+        )
     print("Wrote:", *paths, sep="\n  ")
 
 

@@ -145,3 +145,35 @@ def test_cli_onthefly_template_rendering(tmp_path, monkeypatch):
     assert len(top1) == 2
     for row in top1:
         assert np.isfinite(row["R"]).all() and np.isfinite(row["t"]).all()
+
+
+def test_cli_so3grid_coarse_refine(tmp_path, monkeypatch):
+    """refine.py coarse_mode=so3grid: SO(3)-grid hypothesis classification
+    over the full 576-point grid (assets/so3_grid_576.qua) + refinement,
+    end to end from CNOS detections alone — the reference's
+    forward_coarse_model path (pose_estimator.py:322+). No coarse csv needed."""
+    monkeypatch.setenv("GIGAPOSE_TINY", "1")
+    root = synthetic_bop.build(str(tmp_path))
+    import refine as refine_cli
+
+    refine_cli.main([
+        f"machine.root_dir={root}",
+        "test_dataset_name=tudl",
+        "run_id=so3",
+        "coarse_mode=so3grid",
+        "so3_grid_size=576",
+        "n_refine_iterations=1",
+    ])
+    from gigapose_tpu.dataloader import bop_io
+
+    csv = os.path.join(
+        root, "results", "large_so3", "predictions_refined",
+        "large-pbrreal-rgb-mmodel_tudl-test_so3.csv",
+    )
+    rows = bop_io.load_bop_csv(csv)
+    assert len(rows) >= 1
+    for r in rows:
+        R = np.asarray(r["R"])
+        # valid rotation drawn from the grid and carried through refinement
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+        assert np.isfinite(np.asarray(r["t"])).all()

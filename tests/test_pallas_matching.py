@@ -31,8 +31,11 @@ def _world(seed, B=3, O=2, V=6, npat=4, C=32):
 import pytest
 
 
-@pytest.mark.parametrize("views_per_step", [None, 1, 2, 3])
-def test_pallas_matches_xla_reference(views_per_step):
+@pytest.mark.parametrize(
+    "views_per_step,dets_per_step",
+    [(None, None), (1, 1), (2, 1), (3, 3), (2, 3), (6, 1)],
+)
+def test_pallas_matches_xla_reference(views_per_step, dets_per_step):
     npat, k = 4, 3
     for seed in range(3):
         tar, store, tmask, smask, labels = _world(seed)
@@ -41,6 +44,7 @@ def test_pallas_matches_xla_reference(views_per_step):
             jnp.asarray(smask), jnp.asarray(labels),
             k=k, sim_threshold=0.5, patch_threshold=1, num_patches=npat,
             interpret=True, views_per_step=views_per_step,
+            dets_per_step=dets_per_step,
         )
         want = match_templates(
             jnp.asarray(tar),
@@ -61,4 +65,33 @@ def test_pallas_matches_xla_reference(views_per_step):
         )
         np.testing.assert_allclose(
             np.asarray(got.score_pts), np.asarray(want.score_pts), atol=1e-5
+        )
+
+
+def test_pallas_fractional_masks_and_no_cycle():
+    """The kernel elides the reference's mask-membership gathers (valid for
+    any masks >= 0 when sim_threshold > 0, incl. fractional interpolated
+    alpha masks) and handles patch_threshold=0 (cycle check disabled)."""
+    npat, k = 4, 3
+    tar, store, tmask, smask, labels = _world(11)
+    rng = np.random.default_rng(5)
+    tmask = (tmask * rng.uniform(0.2, 1.0, tmask.shape)).astype(np.float32)
+    smask = (smask * rng.uniform(0.2, 1.0, smask.shape)).astype(np.float32)
+    for patch_threshold in (0, 1):
+        got = pallas_match_templates(
+            jnp.asarray(tar), jnp.asarray(store), jnp.asarray(tmask),
+            jnp.asarray(smask), jnp.asarray(labels),
+            k=k, sim_threshold=0.4, patch_threshold=patch_threshold,
+            num_patches=npat, interpret=True,
+        )
+        want = match_templates(
+            jnp.asarray(tar), jnp.asarray(store)[labels], jnp.asarray(tmask),
+            jnp.asarray(smask)[labels],
+            k=k, sim_threshold=0.4, patch_threshold=patch_threshold,
+            num_patches=npat,
+        )
+        np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(want.ids))
+        np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+        np.testing.assert_allclose(
+            np.asarray(got.scores), np.asarray(want.scores), atol=1e-5
         )
