@@ -43,6 +43,11 @@ class ViTConfig:
     # in bf16 on the MXU while LayerNorm, LayerScale, softmax, and the
     # residual stream stay f32 (params are stored f32 and cast at use)
     compute_dtype: Optional[str] = None
+    # further HBM-traffic cuts on top of compute_dtype="bfloat16" (the ViT-L
+    # forward is bandwidth-bound at ~50% MFU; the (B, H, N, N) f32 softmax and
+    # the f32 residual stream are the two biggest non-matmul byte streams):
+    bf16_softmax: bool = False  # keep attention probs in bf16 (no f32 round trip)
+    bf16_residual: bool = False  # carry the residual stream in bf16 (LN math f32)
     # tensor parallelism: a (dp, mp) jax.sharding.Mesh. Params are sharded by
     # parallel.tp (Megatron name rules); the one activation annotation the
     # compiler can't infer — heads-on-"mp" for the qkv reshape — is applied in
@@ -85,6 +90,7 @@ class Attention(nn.Module):
     fused: bool = False
     dtype: Any = None
     tp_mesh: Any = None
+    bf16_softmax: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -105,7 +111,11 @@ class Attention(nn.Module):
         else:
             scale = hd ** -0.5
             attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+            if not self.bf16_softmax:
+                attn = attn.astype(jnp.float32)
+            # bf16 probs: at 257 keys the bf16 sum carries ~0.4% relative
+            # error — covered by the descriptor-cos precision gate
+            attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -143,10 +153,17 @@ class Block(nn.Module):
     def __call__(self, x):
         c = self.cfg
         cdt = c.matmul_dtype
+        # bf16 residual stream: the carries (x, branch outputs, LayerScale)
+        # stay bf16 — halves the elementwise HBM traffic — while LayerNorm
+        # statistics still compute in f32 (flax upcasts to `dtype`)
+        ls_cast = (lambda h: h.astype(jnp.bfloat16)) if c.bf16_residual else (
+            lambda h: h
+        )
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = Attention(c.embed_dim, c.num_heads, fused=c.fused_attention,
-                      dtype=cdt, tp_mesh=c.tp_mesh, name="attn")(h)
-        x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(h)
+                      dtype=cdt, tp_mesh=c.tp_mesh,
+                      bf16_softmax=c.bf16_softmax, name="attn")(h)
+        x = x + ls_cast(LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(h))
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         hidden = int(c.embed_dim * c.mlp_ratio)
         if c.ffn_layer == "swiglu":
@@ -155,7 +172,7 @@ class Block(nn.Module):
             h = SwiGLU(c.embed_dim, hidden, dtype=cdt, name="mlp")(h)
         else:
             h = Mlp(c.embed_dim, hidden, dtype=cdt, name="mlp")(h)
-        x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls2")(h)
+        x = x + ls_cast(LayerScale(c.embed_dim, c.layerscale_init, name="ls2")(h))
         return x
 
 
@@ -215,10 +232,13 @@ class ViT(nn.Module):
                 axis=1,
             )
 
+        if c.bf16_residual:
+            x = x.astype(jnp.bfloat16)
         for i in range(c.depth):
             x = Block(c, name=f"block{i}")(x)
 
-        x_prenorm = x
+        x_prenorm = x.astype(jnp.float32)
+        x = x_prenorm
         x_norm = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         if c.num_register_tokens:
             # drop register tokens so token layout is always [cls, patches]

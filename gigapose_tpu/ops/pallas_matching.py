@@ -175,19 +175,16 @@ def _divisors_desc(n: int, cap: int):
 
 
 def _pick_tiles(V: int, P: int, C: int, B: int, itemsize: int) -> Tuple[int, int]:
-    """(dets_per_step, views_per_step): largest per-step tile count whose
-    src blocks fit a ~4 MB VMEM budget (the pipelined pair of blocks plus
-    the tar tile and f32 working set then stays well under v5e VMEM).
-    Unroll capped at 16 view-stages to bound Mosaic compile time."""
+    """(dets_per_step, views_per_step): the v5e sweep (ROUND_NOTES r3) showed
+    nB=1 with the largest nV fitting a ~4 MB VMEM src budget is fastest at
+    every batch (2.95 ms B=16 / 5.22 ms B=32 at ViT-L shapes); detection
+    tiling (nB>1) buys nothing once the VPU passes are amortized per view and
+    risks the Mosaic VMEM limit, so it stays opt-in via dets_per_step."""
     budget = 4 * 1024 * 1024
-    best = (1, 1)
-    for nb in _divisors_desc(B, 4):
-        for nv in _divisors_desc(V, 9):
-            if nb * nv > 16 or nb * nv * P * C * itemsize > budget:
-                continue
-            if nb * nv > best[0] * best[1]:
-                best = (nb, nv)
-    return best
+    for nv in _divisors_desc(V, 9):
+        if nv * P * C * itemsize <= budget:
+            return (1, nv)
+    return (1, 1)
 
 
 def pallas_match_scores(
