@@ -19,7 +19,7 @@ crops/sec; we use 54 crops/sec as the PyTorch-reference yardstick for
 Env knobs: GIGAPOSE_BENCH_MODEL (force a single backbone),
 GIGAPOSE_BENCH_BATCH (default: the per-model measured sweet spot),
 GIGAPOSE_BENCH_ITERS (default 20), GIGAPOSE_BENCH_PALLAS /
-GIGAPOSE_BENCH_FUSED_ATTN / GIGAPOSE_BENCH_BF16 / GIGAPOSE_BENCH_VIT_BF16
+GIGAPOSE_BENCH_BF16 / GIGAPOSE_BENCH_VIT_BF16
 (kernel/dtype variants), GIGAPOSE_BENCH_MODE=onboarding (template feature
 precompute s/object — the reference logs the same metric at
 src/models/gigaPose.py:396-398), GIGAPOSE_BENCH_MODE=train (training step

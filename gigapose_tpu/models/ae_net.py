@@ -23,29 +23,20 @@ from gigapose_tpu.models.vit import ViT, ViTConfig, VIT_CONFIGS
 
 class AENet(nn.Module):
     model_name: str = "dinov2_vitl14"
-    fused_attention: bool = False  # Pallas fused attention (TPU)
     compute_dtype: str = None  # "bfloat16" -> bf16 matmuls (f32 LN/residual)
     tp_mesh: object = None  # (dp, mp) Mesh for tensor parallelism (parallel.tp)
-    bf16_softmax: bool = False  # bf16 attention probs (see ViTConfig)
-    bf16_residual: bool = False  # bf16 residual stream (see ViTConfig)
 
     @property
     def cfg(self) -> ViTConfig:
         base = VIT_CONFIGS[self.model_name]
         if (
-            self.fused_attention != base.fused_attention
-            or self.compute_dtype != base.compute_dtype
+            self.compute_dtype != base.compute_dtype
             or self.tp_mesh is not base.tp_mesh
-            or self.bf16_softmax != base.bf16_softmax
-            or self.bf16_residual != base.bf16_residual
         ):
             base = dataclasses.replace(
                 base,
-                fused_attention=self.fused_attention,
                 compute_dtype=self.compute_dtype,
                 tp_mesh=self.tp_mesh,
-                bf16_softmax=self.bf16_softmax,
-                bf16_residual=self.bf16_residual,
             )
         return base
 

@@ -37,17 +37,10 @@ class ViTConfig:
     ffn_layer: str = "mlp"  # "mlp" | "swiglu"
     layerscale_init: float = 1e-5
     num_register_tokens: int = 0
-    # fused Pallas attention (TPU): the (B, H, N, N) logits stay in VMEM
-    fused_attention: bool = False
     # mixed precision: "bfloat16" runs every matmul (qkv/proj/mlp/patch-embed)
     # in bf16 on the MXU while LayerNorm, LayerScale, softmax, and the
     # residual stream stay f32 (params are stored f32 and cast at use)
     compute_dtype: Optional[str] = None
-    # further HBM-traffic cuts on top of compute_dtype="bfloat16" (the ViT-L
-    # forward is bandwidth-bound at ~50% MFU; the (B, H, N, N) f32 softmax and
-    # the f32 residual stream are the two biggest non-matmul byte streams):
-    bf16_softmax: bool = False  # keep attention probs in bf16 (no f32 round trip)
-    bf16_residual: bool = False  # carry the residual stream in bf16 (LN math f32)
     # tensor parallelism: a (dp, mp) jax.sharding.Mesh. Params are sharded by
     # parallel.tp (Megatron name rules); the one activation annotation the
     # compiler can't infer — heads-on-"mp" for the qkv reshape — is applied in
@@ -87,10 +80,8 @@ class LayerScale(nn.Module):
 class Attention(nn.Module):
     dim: int
     num_heads: int
-    fused: bool = False
     dtype: Any = None
     tp_mesh: Any = None
-    bf16_softmax: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -104,19 +95,15 @@ class Attention(nn.Module):
 
             qkv = constrain_heads(qkv, self.tp_mesh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-        if self.fused:
-            from gigapose_tpu.ops.pallas_attention import fused_attention
-
-            out = fused_attention(q, k, v).reshape(B, N, C)
-        else:
-            scale = hd ** -0.5
-            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-            if not self.bf16_softmax:
-                attn = attn.astype(jnp.float32)
-            # bf16 probs: at 257 keys the bf16 sum carries ~0.4% relative
-            # error — covered by the descriptor-cos precision gate
-            attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        # plain fused-einsum attention: measured fastest on v5e at 257 tokens
+        # against jax.nn.dot_product_attention (43.1 vs 26.2 ms, ViT-L B=16)
+        # and two generations of hand-written Pallas kernels (30.1 ms best) —
+        # XLA's own lowering keeps the short-sequence logits fused
+        # (full record: ROUND_NOTES r2/r3)
+        scale = hd ** -0.5
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -153,17 +140,10 @@ class Block(nn.Module):
     def __call__(self, x):
         c = self.cfg
         cdt = c.matmul_dtype
-        # bf16 residual stream: the carries (x, branch outputs, LayerScale)
-        # stay bf16 — halves the elementwise HBM traffic — while LayerNorm
-        # statistics still compute in f32 (flax upcasts to `dtype`)
-        ls_cast = (lambda h: h.astype(jnp.bfloat16)) if c.bf16_residual else (
-            lambda h: h
-        )
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        h = Attention(c.embed_dim, c.num_heads, fused=c.fused_attention,
-                      dtype=cdt, tp_mesh=c.tp_mesh,
-                      bf16_softmax=c.bf16_softmax, name="attn")(h)
-        x = x + ls_cast(LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(h))
+        h = Attention(c.embed_dim, c.num_heads,
+                      dtype=cdt, tp_mesh=c.tp_mesh, name="attn")(h)
+        x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         hidden = int(c.embed_dim * c.mlp_ratio)
         if c.ffn_layer == "swiglu":
@@ -172,7 +152,7 @@ class Block(nn.Module):
             h = SwiGLU(c.embed_dim, hidden, dtype=cdt, name="mlp")(h)
         else:
             h = Mlp(c.embed_dim, hidden, dtype=cdt, name="mlp")(h)
-        x = x + ls_cast(LayerScale(c.embed_dim, c.layerscale_init, name="ls2")(h))
+        x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls2")(h)
         return x
 
 
@@ -232,8 +212,6 @@ class ViT(nn.Module):
                 axis=1,
             )
 
-        if c.bf16_residual:
-            x = x.astype(jnp.bfloat16)
         for i in range(c.depth):
             x = Block(c, name=f"block{i}")(x)
 

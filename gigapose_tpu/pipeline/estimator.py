@@ -224,14 +224,9 @@ class GigaPoseEstimator:
         seed: int = 0,
         config: EstimatorConfig = EstimatorConfig(),
         ist_descriptor_size: int = 256,
-        fused_attention: bool = False,
         compute_dtype: str = None,
-        bf16_softmax: bool = False,
-        bf16_residual: bool = False,
     ) -> "GigaPoseEstimator":
-        ae_net = AENet(model_name=model_name, fused_attention=fused_attention,
-                       compute_dtype=compute_dtype,
-                       bf16_softmax=bf16_softmax, bf16_residual=bf16_residual)
+        ae_net = AENet(model_name=model_name, compute_dtype=compute_dtype)
         ist_net = default_ist_net(
             descriptor_size=ist_descriptor_size, compute_dtype=compute_dtype
         )

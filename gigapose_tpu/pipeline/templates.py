@@ -129,6 +129,18 @@ def _onboard_fn(ae_apply, ist_apply, target_size: int, num_patches: int,
     return run
 
 
+def stage_object(rgbas: np.ndarray):
+    """Start the async host->HBM upload of one object's templates and compute
+    the alpha bboxes host-side. jax.device_put returns immediately, so calling
+    this for object i+1 before running object i's (jitted) onboarding overlaps
+    the upload with compute — the double-buffered staging SURVEY §7 stage 2
+    calls for (the reference's counterpart is the preprocessed-template disk
+    cache + loader prefetch, template_dataset.py:85-120)."""
+    rgbas = np.asarray(rgbas)  # (V, 4, H, W) float [0,1] or uint8
+    boxes = alpha_bboxes(rgbas[:, 3])
+    return jax.device_put(rgbas), jax.device_put(boxes)
+
+
 def onboard_object(
     ae_apply: Callable,
     ist_apply: Callable,
@@ -139,20 +151,18 @@ def onboard_object(
     num_patches: int = 16,
     chunk: int = 64,
     feature_dtype=jnp.float32,
+    staged=None,  # optional (device_rgbas, device_boxes) from stage_object
 ):
     """Onboard one object: (V, 4, H, W) RGBA templates in [0,1] -> per-view
     features/masks/Ms. `chunk` bounds peak activation memory like the
     reference's forward_by_chunk (max_batch_size=64)."""
-    V = rgbas.shape[0]
-    rgbas = np.asarray(rgbas)  # (V, 4, H, W) float [0,1] or uint8
-    boxes = alpha_bboxes(rgbas[:, 3])
+    V = np.asarray(rgbas).shape[0] if staged is None else staged[0].shape[0]
+    dev_rgbas, dev_boxes = staged if staged is not None else stage_object(rgbas)
     run = _onboard_fn(
         ae_apply, ist_apply, target_size, num_patches, min(chunk, V), V,
         np.dtype(feature_dtype),
     )
-    rgb, mask_img, masks, Ms, ae_f, ist_f = run(
-        jnp.asarray(rgbas), jnp.asarray(boxes)
-    )
+    rgb, mask_img, masks, Ms, ae_f, ist_f = run(dev_rgbas, dev_boxes)
     return dict(
         ae_features=ae_f,
         ist_features=ist_f,
@@ -173,11 +183,24 @@ def onboard_templates(
     Ks_per_object=None,
     **kwargs,
 ) -> TemplateStore:
-    """Onboard a dataset's objects into a stacked TemplateStore."""
+    """Onboard a dataset's objects into a stacked TemplateStore.
+
+    Uploads are double-buffered: object i+1's host->HBM transfer is started
+    (async device_put) before object i's fused onboarding program runs, so
+    per-object wall time approaches max(upload, compute) instead of their sum
+    (r2 measured 0.76 s of the 1.74 s/object as serial upload on the relay)."""
+    pairs = list(zip(rgbas_per_object, poses_per_object))
     entries = []
-    for i, (rgbas, poses) in enumerate(zip(rgbas_per_object, poses_per_object)):
+    staged = stage_object(pairs[0][0]) if pairs else None
+    for i, (rgbas, poses) in enumerate(pairs):
+        current = staged
+        if i + 1 < len(pairs):
+            staged = stage_object(pairs[i + 1][0])  # upload overlaps compute
         K = None if Ks_per_object is None else Ks_per_object[i]
-        entries.append(onboard_object(ae_apply, ist_apply, rgbas, poses, K, **kwargs))
+        entries.append(
+            onboard_object(ae_apply, ist_apply, rgbas, poses, K,
+                           staged=current, **kwargs)
+        )
     stack = lambda name: jnp.stack([e[name] for e in entries])
     return TemplateStore(
         ae_features=stack("ae_features"),

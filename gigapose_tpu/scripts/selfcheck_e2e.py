@@ -72,6 +72,11 @@ def main(argv=None):
             ae_lr=float(kv.get("ae_lr", 3e-4)),
             ist_lr=float(kv.get("ist_lr", 1e-3)),
             warm_up_steps=int(kv.get("warm_up", 10)),
+            # tiny-config stabilizers (ROUND_NOTES r3: the short-budget
+            # InfoNCE collapse fix — grad clipping + temperature warm-up)
+            grad_clip=float(kv.get("grad_clip", 1.0)),
+            tau_start=float(kv.get("tau_start", 0.5)),
+            tau_warmup_steps=int(kv.get("tau_warmup", 50)),
         ),
         fit_cfg=FitConfig(max_steps=steps, log_every=max(steps // 5, 1),
                           checkpoint_every=10**9),

@@ -56,6 +56,15 @@ class OptimConfig:
     warm_up_steps: int = 200
     nets_to_train: str = "all"  # "ae" | "ist" | "all"
     tau: float = 0.1
+    # stabilizers for small-data/short-budget training (the tiny-fixture
+    # InfoNCE collapse investigated in ROUND_NOTES r2/r3; both default OFF so
+    # the reference recipe is unchanged):
+    grad_clip: float = 0.0  # >0 -> optax.clip_by_global_norm before AdamW
+    # temperature warm-up: anneal tau from tau_start down to tau over
+    # tau_warmup_steps (softer contrastive gradients while features are
+    # random, preventing the early collapse mode)
+    tau_start: float = 0.0  # 0 -> disabled
+    tau_warmup_steps: int = 0
 
 
 class TrainState(NamedTuple):
@@ -95,7 +104,10 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
             "ist": jax.tree_util.tree_map(lambda _: g_ist, params["ist"]),
         }
 
-    return optax.multi_transform(tx, label_fn)
+    opt = optax.multi_transform(tx, label_fn)
+    if cfg.grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    return opt
 
 
 def create_train_state(
@@ -186,11 +198,16 @@ def compute_losses(
         src_g, sv = gather_patches(src_feat, batch.src_pts)
         tar_g, tv = gather_patches(tar_feat, batch.tar_pts)
         v = (sv & tv).reshape(-1)
+        tau = cfg.tau
+        if cfg.tau_start > 0 and cfg.tau_warmup_steps > 0:
+            # linear anneal tau_start -> tau over tau_warmup_steps
+            frac = jnp.clip(step / cfg.tau_warmup_steps, 0.0, 1.0)
+            tau = cfg.tau_start + (cfg.tau - cfg.tau_start) * frac
         nce = L.info_nce_loss(
             src_g.reshape(-1, src_g.shape[-1]),
             tar_g.reshape(-1, tar_g.shape[-1]),
             v,
-            tau=cfg.tau,
+            tau=tau,
         )
         total = total + nce
         metrics["infoNCE"] = nce

@@ -139,24 +139,3 @@ def test_ist_bf16_compute_preserves_features():
     cos = (f32 * f16).sum(-1) / np.clip(denom, 1e-12, None)
     assert cos.min() > 0.99
 
-
-def test_vit_bf16_fast_path_preserves_features():
-    """bf16_softmax + bf16_residual (the traffic-cut knobs on top of
-    compute_dtype='bfloat16') keep the L2-normalized patch features within
-    the same cos > 0.995 gate as the plain bf16-matmul policy."""
-    import jax
-
-    from gigapose_tpu.models.ae_net import AENet
-
-    ae32 = AENet(model_name="vit_tiny_test")
-    ae_fast = AENet(model_name="vit_tiny_test", compute_dtype="bfloat16",
-                    bf16_softmax=True, bf16_residual=True)
-    x = jnp.asarray(
-        np.random.default_rng(3).normal(size=(2, 3, 56, 56)), jnp.float32
-    )
-    p = ae32.init(jax.random.PRNGKey(0), x)
-    f32 = np.asarray(ae32.apply(p, x))
-    ff = np.asarray(ae_fast.apply(p, x))
-    assert ff.dtype == np.float32
-    cos = (f32 * ff).sum(-1)
-    assert cos.min() > 0.995, cos.min()
