@@ -96,3 +96,59 @@ def test_render_template_views(tmp_path):
     # object at 0.4 m -> depths around 400 mm
     d = depth[depth > 0]
     assert 300 < np.median(d) < 500
+
+
+def test_normals_encoding_matches_reference_texture_semantics(tmp_path):
+    """Software re-derivation of the reference's normals render encoding
+    (PARITY known gap 2): megapose colors refiner renders by a 32^3 RGB
+    texture indexed with MEyeNormal tex-gen coordinates under repeat wrap
+    (panda3d_scene_renderer.py:214-223 + utils.make_rgb_texture_normal_map).
+    Emulate that pipeline in numpy — texel value floor(frac(coord)*size)*255/size
+    at the eye-frame normal — and check our continuous frac(nx, nz, -ny)
+    encoding (refiner/refiner.py render_batch) agrees on every foreground
+    pixel to within one texel quantization step (255/32/255 ~ 1/32)."""
+    from gigapose_tpu.refiner.refiner import MeshStore
+
+    path = str(tmp_path / "cube.ply")
+    _write_cube_ply(path, size=0.05)
+    store = MeshStore({1: path}, n_points=8)
+
+    # a pose exposing three faces with distinct normals
+    from scipy.spatial.transform import Rotation
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = Rotation.from_euler("xyz", [30, 40, 15], degrees=True).as_matrix()
+    pose[2, 3] = 0.4
+    Ks = K.copy()  # scale intrinsics from 640x480 to the 160x120 viewport
+    Ks[0] *= 160 / 640
+    Ks[1] *= 120 / 480
+    out = store.render_batch(
+        np.array([1]), pose[None], Ks[None], (120, 160), render_normals=True
+    )
+    enc = out[0, 3:]  # (3, H, W) our encoding
+    fg = out[0, :3].sum(0) > 0
+
+    # raw camera-space normals from the rasterizer directly
+    r = store.rasterizers[1]
+    rgba, _, nrm = r.render_full(Ks, pose, 160, 120, normals=True)
+    fg_r = rgba[..., 3] > 0
+    np.testing.assert_array_equal(fg, fg_r)
+
+    # the cube shows at most 3 faces; every foreground normal must equal one
+    # of the analytic rotated face normals
+    face_normals = np.concatenate([pose[:3, :3].T, -pose[:3, :3].T], axis=0)
+    n_px = nrm[fg_r]  # (N, 3)
+    d = np.abs(n_px[:, None, :] - face_normals[None]).sum(-1)
+    assert d.min(axis=1).max() < 1e-4, "rendered normals are not face normals"
+
+    # emulate the reference's 3D texture sampling: panda eye frame is z-up
+    # y-forward, so CV (x right, y down, z forward) -> (nx, nz, -ny)
+    size = 32
+    eye = np.stack([n_px[:, 0], n_px[:, 2], -n_px[:, 1]], axis=-1)
+    wrapped = eye - np.floor(eye)  # repeat wrap
+    texel = np.floor(np.clip(wrapped, 0, 1 - 1e-7) * size)
+    ref_value = texel * 255.0 / size / 255.0  # uint8 texel / 255
+
+    ours = enc.transpose(1, 2, 0)[fg]
+    err = np.abs(ours - ref_value)
+    assert err.max() <= 1.0 / size + 1e-6, err.max()
