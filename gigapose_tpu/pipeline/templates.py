@@ -181,20 +181,29 @@ def onboard_templates(
     rgbas_per_object,  # iterable of (V, 4, H, W) arrays
     poses_per_object,  # iterable of (V, 4, 4) arrays
     Ks_per_object=None,
+    overlap_uploads: Optional[bool] = None,
     **kwargs,
 ) -> TemplateStore:
     """Onboard a dataset's objects into a stacked TemplateStore.
 
-    Uploads are double-buffered: object i+1's host->HBM transfer is started
-    (async device_put) before object i's fused onboarding program runs, so
-    per-object wall time approaches max(upload, compute) instead of their sum
-    (r2 measured 0.76 s of the 1.74 s/object as serial upload on the relay)."""
+    overlap_uploads double-buffers host->HBM staging: object i+1's transfer
+    is started (async device_put) before object i's fused onboarding program
+    runs, so per-object wall time approaches max(upload, compute) instead of
+    their sum on hosts whose DMA engines run transfers concurrently with
+    compute. Default is auto: ON for a local TPU host, OFF on the axon
+    relay, which serializes transfers with compute — measured A/B on v5e
+    through the relay: inline 1.148 s/object vs staged 1.328 (ROUND_NOTES
+    r3), so early staging only adds queueing there."""
+    if overlap_uploads is None:
+        import os as _os
+
+        overlap_uploads = not bool(_os.environ.get("PALLAS_AXON_POOL_IPS"))
     pairs = list(zip(rgbas_per_object, poses_per_object))
     entries = []
-    staged = stage_object(pairs[0][0]) if pairs else None
+    staged = stage_object(pairs[0][0]) if (pairs and overlap_uploads) else None
     for i, (rgbas, poses) in enumerate(pairs):
         current = staged
-        if i + 1 < len(pairs):
+        if overlap_uploads and i + 1 < len(pairs):
             staged = stage_object(pairs[i + 1][0])  # upload overlaps compute
         K = None if Ks_per_object is None else Ks_per_object[i]
         entries.append(
