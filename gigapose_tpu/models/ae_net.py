@@ -25,6 +25,7 @@ class AENet(nn.Module):
     model_name: str = "dinov2_vitl14"
     compute_dtype: str = None  # "bfloat16" -> bf16 matmuls (f32 LN/residual)
     tp_mesh: object = None  # (dp, mp) Mesh for tensor parallelism (parallel.tp)
+    remat: bool = False  # checkpoint each block (training memory lever)
 
     @property
     def cfg(self) -> ViTConfig:
@@ -32,11 +33,13 @@ class AENet(nn.Module):
         if (
             self.compute_dtype != base.compute_dtype
             or self.tp_mesh is not base.tp_mesh
+            or self.remat != base.remat
         ):
             base = dataclasses.replace(
                 base,
                 compute_dtype=self.compute_dtype,
                 tp_mesh=self.tp_mesh,
+                remat=self.remat,
             )
         return base
 

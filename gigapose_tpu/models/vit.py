@@ -41,6 +41,12 @@ class ViTConfig:
     # in bf16 on the MXU while LayerNorm, LayerScale, softmax, and the
     # residual stream stay f32 (params are stored f32 and cast at use)
     compute_dtype: Optional[str] = None
+    # gradient rematerialization: recompute each block in the backward pass
+    # instead of keeping its activations (jax.checkpoint via nn.remat) —
+    # trades ~30% more forward FLOPs for O(depth) less activation HBM, the
+    # standard lever for growing the per-chip train batch. Forward-only
+    # inference is unaffected (XLA drops the checkpoint marker).
+    remat: bool = False
     # tensor parallelism: a (dp, mp) jax.sharding.Mesh. Params are sharded by
     # parallel.tp (Megatron name rules); the one activation annotation the
     # compiler can't infer — heads-on-"mp" for the qkv reshape — is applied in
@@ -212,8 +218,9 @@ class ViT(nn.Module):
                 axis=1,
             )
 
+        block_cls = nn.remat(Block) if c.remat else Block
         for i in range(c.depth):
-            x = Block(c, name=f"block{i}")(x)
+            x = block_cls(c, name=f"block{i}")(x)
 
         x_prenorm = x.astype(jnp.float32)
         x = x_prenorm

@@ -167,3 +167,28 @@ def test_scale_inplane_losses():
     cs_g = jnp.asarray(np.stack([np.cos(ang_g), np.sin(ang_g)], -1), jnp.float32)
     li = losses.inplane_loss(cs_p, cs_g, valid)
     np.testing.assert_allclose(float(li), 0.1, atol=1e-3)
+
+
+def test_vit_remat_equals_plain():
+    """remat=True (per-block jax.checkpoint, the train-batch memory lever)
+    must be numerically identical in both the forward and the gradient."""
+    import jax
+
+    from gigapose_tpu.models.ae_net import AENet
+
+    ae = AENet(model_name="vit_tiny_test")
+    ae_r = AENet(model_name="vit_tiny_test", remat=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 56, 56)),
+                    jnp.float32)
+    p = ae.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(ae.apply(p, x)), np.asarray(ae_r.apply(p, x)), atol=1e-6
+    )
+    loss = lambda net: lambda p: jnp.sum(net.apply(p, x) ** 2)
+    g1 = jax.grad(loss(ae))(p)
+    g2 = jax.grad(loss(ae_r))(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5),
+        g1, g2,
+    )

@@ -99,7 +99,10 @@ def main(argv=None):
         from gigapose_tpu.models.ae_net import AENet
         from gigapose_tpu.models.ist_net import default_ist_net
 
-        ae = AENet(model_name=cfg.model.ae_net.backbone)
+        # model.ae_net.remat=true checkpoints each ViT block (activation
+        # memory ~O(1) in depth; the standard knob for larger per-chip batch)
+        ae = AENet(model_name=cfg.model.ae_net.backbone,
+                   remat=bool(cfg.model.ae_net.get("remat")))
         ist = default_ist_net(cfg.model.ist_net.descriptor_size)
 
     optim = OptimConfig(
