@@ -24,7 +24,8 @@ GIGAPOSE_BENCH_BF16 / GIGAPOSE_BENCH_VIT_BF16
 precompute s/object — the reference logs the same metric at
 src/models/gigaPose.py:396-398), GIGAPOSE_BENCH_MODE=train (training step
 steps/s + MFU — the reference's train.py:20-104 counterpart, BASELINE
-config 5).
+config 5), GIGAPOSE_BENCH_MODE=stages (per-stage AE/IST/matching
+decomposition — the speed-of-light table in ROUND_NOTES).
 """
 
 from __future__ import annotations
@@ -193,6 +194,76 @@ def bench_train(model: str):
     )
 
 
+def bench_stages(model: str):
+    """Per-stage decomposition of the coarse pipeline (the speed-of-light
+    table in ROUND_NOTES): AE ViT forward, IST backbone, Pallas matching,
+    and the full pipeline, independently timed on the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from gigapose_tpu.models.ae_net import AENet
+    from gigapose_tpu.models.ist_net import default_ist_net
+    from gigapose_tpu.ops.pallas_matching import pallas_match_scores
+    from gigapose_tpu.models.vit import VIT_CONFIGS
+
+    default_b = "32" if "vits" in model else "16"
+    B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", default_b))
+    iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "20"))
+    on_tpu = jax.default_backend() == "tpu"
+    cdt = "bfloat16" if os.environ.get(
+        "GIGAPOSE_BENCH_VIT_BF16", "1" if on_tpu else "0") == "1" else None
+    fdt = jnp.bfloat16 if os.environ.get(
+        "GIGAPOSE_BENCH_BF16", "1" if on_tpu else "0") == "1" else jnp.float32
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, 3, 224, 224)), jnp.float32)
+
+    def timed(f, *args, fence):
+        out = f(*args)
+        np.asarray(fence(out))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        np.asarray(fence(out))
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    ae = AENet(model_name=model, compute_dtype=cdt)
+    pa = ae.init(jax.random.PRNGKey(0), x[:1])
+    ae_ms = timed(jax.jit(lambda p, x: ae.apply(p, x)), pa, x,
+                  fence=lambda o: o[0, 0, 0])
+
+    ist = default_ist_net(compute_dtype=cdt)
+    iv = ist.init(jax.random.PRNGKey(1), x[:1], x[:1],
+                  jnp.zeros((1, 4, 2)), jnp.zeros((1, 4, 2)))
+    ist_ms = timed(jax.jit(lambda v, x: ist.apply(v, x, method=ist.features)),
+                   iv, x, fence=lambda o: o[0, 0, 0])
+
+    P, C, V = 256, VIT_CONFIGS[model].embed_dim, 162
+    tar = jnp.asarray(rng.normal(size=(B, P, C)), fdt)
+    store = jnp.asarray(rng.normal(size=(1, V, P, C)), fdt)
+    tmask = jnp.ones((B, P), jnp.float32)
+    smask = jnp.ones((1, V, P), jnp.float32)
+    labels = jnp.zeros((B,), jnp.int32)
+    match_ms = timed(
+        jax.jit(lambda t, s, tm, sm, l: pallas_match_scores(t, s, tm, sm, l)),
+        tar, store, tmask, smask, labels, fence=lambda o: o[0],
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"coarse stage decomposition ({model}, B={B}): "
+                    f"AE {ae_ms:.2f} ms, IST {ist_ms:.2f} ms, "
+                    f"matching {match_ms:.2f} ms"
+                ),
+                "value": round(ae_ms + ist_ms + match_ms, 2),
+                "unit": "ms/batch (sum of stages)",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 def bench_coarse(model: str, watchdog=None):
     import jax
 
@@ -275,6 +346,11 @@ def main():
 
     if mode == "onboarding":
         bench_onboarding(forced_model or "dinov2_vits14")
+    elif mode == "stages":
+        for model in [forced_model] if forced_model else [
+            "dinov2_vits14", "dinov2_vitl14",
+        ]:
+            bench_stages(model)
     elif mode == "train":
         for model in [forced_model] if forced_model else [
             "dinov2_vits14", "dinov2_vitl14",

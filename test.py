@@ -20,8 +20,9 @@ def build_estimator(cfg, tiny: bool = False):
 
     pallas = cfg.model.get("use_pallas_matching", "auto")
     if str(pallas) == "auto":
-        # fused Pallas kernel only Mosaic-compiles on TPU; measured 2.4x
-        # faster than the XLA path on v5e (945 vs 390 crops/s, BENCH r2)
+        # fused Pallas kernel only Mosaic-compiles on TPU; measured 10x
+        # faster than the XLA lowering on v5e at ViT-L shapes
+        # (2.95 vs 28.9 ms matching, ROUND_NOTES r3)
         import jax
 
         pallas = jax.default_backend() == "tpu"
