@@ -1,11 +1,10 @@
 """Full BOP benchmark driver (ref: src/scripts/eval_bop.py:16-136).
 
 For each requested dataset: run the coarse test CLI, then refinement (top-1
-and/or top-5), then — when bop_toolkit is installed — the official
-eval_bop19_pose scorer on the produced csv, collecting
-bop19_average_recall. Without bop_toolkit (this image), the csvs are
-produced and the scoring step is skipped with a notice (the reference shells
-out to bop_toolkit the same way; it scores the csv artifact externally).
+and/or top-5), then score the produced csv — via the official bop_toolkit
+eval_bop19_pose when installed (external, like the reference's os.system
+call), else via the in-repo native BOP19 scorer (gigapose_tpu/eval/), which
+recomputes VSD/MSSD/MSPD average recall without any external dependency.
 
 Usage:
     python -m gigapose_tpu.scripts.eval_bop machine.root_dir=<root> \
@@ -46,11 +45,25 @@ def run_dataset(ds: str, overrides, root: str, run_id, refine: bool,
             csvs = [f for f in os.listdir(pattern)
                     if f.endswith(".csv") and "MultiHypothesis" not in f]
             if csvs:
-                out[f"score_{sub}"] = score_with_bop_toolkit(
-                    osp.join(pattern, csvs[0])
+                out[f"score_{sub}"] = score_csv(
+                    osp.join(pattern, csvs[0]), root, ds
                 )
                 break
     return out
+
+
+def score_csv(csv_path: str, root: str, dataset: str) -> dict:
+    """bop_toolkit when installed; else the native in-repo BOP19 scorer."""
+    out = score_with_bop_toolkit(csv_path)
+    if out.get("bop19_average_recall") is not None:
+        return out
+    try:
+        from gigapose_tpu.eval import score_bop
+
+        return score_bop(csv_path, root, dataset)
+    except Exception as e:  # scoring is best-effort; the csv is the artifact
+        out["native_scorer_error"] = f"{type(e).__name__}: {e}"
+        return out
 
 
 def score_with_bop_toolkit(csv_path: str) -> dict:
