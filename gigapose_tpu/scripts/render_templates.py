@@ -10,7 +10,14 @@ in the reference layout consumed by the rest of the framework:
 
 Usage:
     python -m gigapose_tpu.scripts.render_templates \
-        cad_dir=<models dir> out_dir=<templates/ds> [level=1] [num_workers=1]
+        cad_dir=<models dir> out_dir=<templates/ds> [level=1] [num_workers=1] \
+        [renderer=native|jax]
+
+`renderer=jax` selects the alternative pure-JAX backend
+(render/jax_renderer.py — the counterpart of the reference's pyrender
+alternative, src/lib3d/pyrender.py): no compiled extension needed, and each
+object's whole view stack rasterizes as one jitted/vmapped program on the
+default JAX device.
 
 Each object's output is verified to contain 2 x V files (the reference's
 completeness check, render_bop_templates.py:49-54).
@@ -27,8 +34,13 @@ import numpy as np
 
 
 def render_one(args):
-    cad_path, out_dir, level, radius_factor = args
-    from gigapose_tpu.render.rasterizer import render_template_views
+    cad_path, out_dir, level, radius_factor, renderer = args
+    if renderer == "jax":
+        from gigapose_tpu.render.jax_renderer import (
+            render_template_views_jax as render_template_views,
+        )
+    else:
+        from gigapose_tpu.render.rasterizer import render_template_views
 
     n = render_template_views(cad_path, out_dir, level=level, radius_factor=radius_factor)
     files = os.listdir(out_dir)
@@ -48,6 +60,7 @@ def main(argv=None):
     level = int(overrides.get("level", 1))
     radius_factor = float(overrides.get("radius_factor", 0.4))
     num_workers = int(overrides.get("num_workers", 1))
+    renderer = overrides.get("renderer", "native")
 
     meshes = sorted(
         f for f in os.listdir(cad_dir) if f.endswith((".ply", ".obj"))
@@ -62,7 +75,8 @@ def main(argv=None):
         obj_id = int("".join(c for c in stem if c.isdigit()) or 0)
         obj_out = osp.join(out_dir, f"{obj_id:06d}")
         np.save(osp.join(out_dir, "object_poses", f"{obj_id:06d}.npy"), poses)
-        jobs.append((osp.join(cad_dir, mesh), obj_out, level, radius_factor))
+        jobs.append((osp.join(cad_dir, mesh), obj_out, level, radius_factor,
+                     renderer))
 
     if num_workers > 1:
         with mp.Pool(num_workers) as pool:
