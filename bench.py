@@ -343,6 +343,10 @@ def main():
         os.environ.setdefault("GIGAPOSE_BENCH_PALLAS", "1")
         os.environ.setdefault("GIGAPOSE_BENCH_BF16", "1")
         os.environ.setdefault("GIGAPOSE_BENCH_VIT_BF16", "1")
+        # int8 W8A8 serving path for the AE backbone (the test.py
+        # serving_quant=auto default on TPU); GIGAPOSE_BENCH_QUANT=0
+        # measures the bf16 flax forward instead
+        os.environ.setdefault("GIGAPOSE_BENCH_QUANT", "1")
 
     if mode == "onboarding":
         bench_onboarding(forced_model or "dinov2_vits14")

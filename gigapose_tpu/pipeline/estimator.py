@@ -237,6 +237,26 @@ class GigaPoseEstimator:
         ist_vars = ist_net.init(k2, dummy, dummy, dummy_pts, dummy_pts)
         return cls(ae_net, ist_net, ae_params, ist_vars, config)
 
+    def quantize_serving(self, backend: Optional[str] = None) -> "GigaPoseEstimator":
+        """Swap the AE backbone for the W8A8 int8 serving path
+        (models/vit_int8: fused Pallas LN+quant+matmul / attention-block /
+        MLP kernels — measured 1.6-1.7x over the bf16 flax forward on v5e
+        at ViT-L B=16, feature cos >= 0.99999 vs bf16; ROUND_NOTES r3).
+
+        Inference-only. Call AFTER loading checkpoints and BEFORE template
+        onboarding: queries and the template store must share one feature
+        extractor. Set model.serving_quant=off for strict-parity eval."""
+        from gigapose_tpu.models.vit_int8 import AENetInt8
+
+        if backend is None:  # Mosaic kernels on TPU; fake-quant XLA elsewhere
+            backend = "pallas" if jax.default_backend() == "tpu" else "ref"
+        q = AENetInt8.from_ae_net(self.ae_net, self.ae_params, backend=backend)
+        self.ae_net = q
+        self.ae_params = q.params
+        for k in ("_jitted", "ae_apply", "ist_apply"):
+            self.__dict__.pop(k, None)  # drop jit caches built on the old net
+        return self
+
     @functools.cached_property
     def _jitted(self):
         return jax.jit(

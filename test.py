@@ -50,12 +50,13 @@ def build_estimator(cfg, tiny: bool = False):
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         d224 = jnp.zeros((1, 3, 224, 224), jnp.float32)
         dpts = jnp.zeros((1, 4, 2), jnp.float32)
-        return GigaPoseEstimator(
+        est = GigaPoseEstimator(
             ae_net=ae, ist_net=ist,
             ae_params=ae.init(k1, d224),
             ist_vars=ist.init(k2, d224, d224, dpts, dpts),
             config=est_cfg,
         )
+        return _maybe_quantize(est, cfg)
 
     cdt = str(cfg.model.get("compute_dtype") or "bf16")
     est = GigaPoseEstimator.create(
@@ -100,6 +101,23 @@ def build_estimator(cfg, tiny: bool = False):
             "batch_stats": state.ist_batch_stats,
         }
         print(f"Loaded orbax checkpoint {path} (step {int(state.step)})")
+    return _maybe_quantize(est, cfg)
+
+
+def _maybe_quantize(est, cfg):
+    """model.serving_quant: auto (int8 on TPU, off elsewhere) | int8 | off.
+    Applied after checkpoint loading so the quantized tree derives from the
+    served weights; onboarding below then uses the same quantized extractor
+    for the template store (feature-space consistency)."""
+    sq = str(cfg.model.get("serving_quant", "auto")).lower()
+    if sq == "auto":
+        import jax
+
+        sq = "int8" if jax.default_backend() == "tpu" else "off"
+    if sq == "int8":
+        est.quantize_serving()
+        print("AE serving precision: int8 W8A8 fused kernels "
+              "(model.serving_quant=off for the bf16/f32 flax path)")
     return est
 
 
@@ -173,7 +191,14 @@ def main(argv=None):
             jnp.bfloat16 if str(cfg.model.get("feature_dtype", "")) == "bf16"
             else None
         ),
-        cache_tag=cfg.get("onboarding_cache"),
+        cache_tag=(
+            # int8-served features are not interchangeable with f32/bf16
+            # caches: key the store cache by serving precision
+            f"{cfg.get('onboarding_cache')}-int8"
+            if cfg.get("onboarding_cache")
+            and type(est.ae_net).__name__ == "AENetInt8"
+            else cfg.get("onboarding_cache")
+        ),
     )
     dataset = InferenceDataset(
         root_dir=root, dataset_name=ds, test_setting=cfg.test_setting,
