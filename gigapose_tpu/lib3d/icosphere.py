@@ -20,9 +20,22 @@ decided by sub-1e-6-radian float noise of Blender's C kernels. We reproduce
 swaps of viewpoints < 0.0001 deg apart. This never matters in practice because
 template *poses are always loaded from the template set's own pose file*
 (mirroring the reference, whose render scripts save object_poses/{obj}.npy
-next to the rendered images); this generated table is used for our own
+next to the rendered images — and whose downloadable pre-rendered template
+sets ship those pose files); this generated table is used for our own
 rendering and for train-time nearest-view search, both of which only require
 internal consistency.
+
+The residual 12 swaps were exhaustively chased (r3): 50+ arithmetic variants
+of the simulation — midpoint as (a+b)*0.5 / a+(b-a)*0.5 / per-component fma,
+normalization by f64 divide / f32 divide / f32 reciprocal-multiply at each of
+the three normalization sites, base-table scaling as f64/200 vs f32*(1/200f)
+vs f32/200f, f32 vs f64 atan2 sort keys, slerp-style spherical midpoints, and
+a full-f64 (exact) pipeline — ALL plateau at exactly 150/162 (best level-2:
+589/642). The swapped groups are symmetry orbits whose exact elevations
+differ by ~1e-6 rad; the full-f64 run shows the *exact-arithmetic* order
+agrees with OURS, i.e. the reference rows are the ones perturbed by Blender
+noise (likely SIMD/fma contraction in that particular Blender build), which
+no clean re-derivation can legally reproduce without copying the asset.
 """
 
 from __future__ import annotations
