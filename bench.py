@@ -267,8 +267,13 @@ def bench_stages(model: str):
 def bench_coarse(model: str, watchdog=None):
     import jax
 
-    # measured batch sweet spots (ROUND_NOTES r2/r3)
-    default_b = "32" if "vits" in model else "16"
+    # measured batch sweet spots (ROUND_NOTES r2/r3): the int8 serving
+    # path amortizes at 2x the bf16 flax path's best batch
+    quant = os.environ.get("GIGAPOSE_BENCH_QUANT", "0") == "1"
+    if "vits" in model:
+        default_b = "64" if quant else "32"
+    else:
+        default_b = "32" if quant else "16"
     B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", default_b))
     iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "20"))
 
