@@ -194,6 +194,73 @@ def bench_train(model: str):
     )
 
 
+def bench_refine():
+    """Render-and-compare refinement throughput (the reference's 5-iteration
+    MegaPose refiner path, pose_estimator.py:102-216): host C++ raster +
+    jitted crop/update/score device steps, measured end-to-end as refined
+    crops/s. The reference commits no number for this stage (BASELINE.md),
+    so vs_baseline is 0.0."""
+    import tempfile
+
+    import jax
+
+    from tests.test_rasterizer import _write_cube_ply
+    from gigapose_tpu.refiner.refiner import RefinerConfig, RenderCompareRefiner
+
+    B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", "16"))
+    iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "3"))
+    cfg = RefinerConfig()  # shipping defaults: 5 iterations, 160x160 crops
+    with tempfile.TemporaryDirectory() as td:
+        meshes = {}
+        for label, size in [(1, 0.08), (2, 0.1)]:
+            path = os.path.join(td, f"obj_{label}.ply")
+            _write_cube_ply(path, size=size)
+            meshes[label] = path
+        ref = RenderCompareRefiner.create(meshes, config=cfg)
+        K = np.array([[572.4114, 0, 320], [0, 573.57043, 240], [0, 0, 1.0]],
+                     np.float32)
+        rng = np.random.default_rng(0)
+        labels = np.array([1 + i % 2 for i in range(B)])
+        gts, imgs = [], []
+        for i in range(B):
+            gt = np.eye(4, dtype=np.float32)
+            gt[:3, 3] = [rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
+                         rng.uniform(0.45, 0.6)]
+            rgba, _ = ref.meshes.rasterizers[int(labels[i])].render(
+                K, gt, 640, 480
+            )
+            imgs.append(rgba[..., :3].transpose(2, 0, 1).astype(np.float32) / 255.0)
+            gts.append(gt)
+        images = np.stack(imgs)
+        Ks = np.tile(K[None], (B, 1, 1))
+        inits = np.stack(gts)
+        inits[:, :3, 3] += rng.uniform(-0.02, 0.02, (B, 3)).astype(np.float32)
+
+        out, scores = ref.refine_batch(images, Ks, labels, inits)  # compile
+        assert np.isfinite(out).all()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, scores = ref.refine_batch(images, Ks, labels, inits)
+        _ = float(scores[0])  # refine_batch returns host arrays (fenced)
+        dt = time.perf_counter() - t0
+        crops_per_sec = B * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"refiner crops/sec (render-and-compare, "
+                    f"{cfg.n_iterations} iterations, B={B}) "
+                    "[no published reference number]"
+                ),
+                "value": round(crops_per_sec, 2),
+                "unit": "crops/s",
+                "vs_baseline": 0.0,
+            }
+        ),
+        flush=True,
+    )
+
+
 def bench_stages(model: str):
     """Per-stage decomposition of the coarse pipeline (the speed-of-light
     table in ROUND_NOTES): AE ViT forward, IST backbone, Pallas matching,
@@ -355,6 +422,8 @@ def main():
 
     if mode == "onboarding":
         bench_onboarding(forced_model or "dinov2_vits14")
+    elif mode == "refine":
+        bench_refine()
     elif mode == "stages":
         for model in [forced_model] if forced_model else [
             "dinov2_vits14", "dinov2_vitl14",
