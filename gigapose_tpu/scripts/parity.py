@@ -69,6 +69,14 @@ def run_real(root: str, dataset: str, run_id: str, do_download: bool) -> dict:
     test_cli.main(list(base))
     steps.append("test")
 
+    # serving-precision A/B (PARITY.md known-gap 3): on a TPU host the
+    # default is the int8 W8A8 path, so score a strict-parity flax pass
+    # beside it — the day weights exist this diff IS the int8 AR validation
+    test_cli.main(list(base[:-2]) + [f"run_id={run_id}_fp",
+                                     f"model.checkpoint_path={ckpt}",
+                                     "model.serving_quant=off"])
+    steps.append("test:serving_quant=off")
+
     import refine as refine_cli
 
     mp = [
@@ -126,6 +134,11 @@ def run_dryrun(root: str, dataset: str, run_id: str) -> dict:
     ]
     test_cli.main(list(base))
     steps.append("test")
+
+    # the serving-precision A/B leg of the real chain, same flag surface
+    test_cli.main([base[0], base[1], f"run_id={run_id}_fp", base[3],
+                   "model.serving_quant=off"])
+    steps.append("test:serving_quant=off")
 
     import refine as refine_cli
 

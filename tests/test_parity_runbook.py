@@ -17,6 +17,8 @@ def test_parity_runbook_dryrun(tmp_path, monkeypatch):
     assert out["mode"] == "dryrun"
     assert "test" in out["steps"]
     assert "refine:top1" in out["steps"] and "refine:top5" in out["steps"]
+    # the serving-precision A/B leg (int8 vs off AR diff on real weights)
+    assert "test:serving_quant=off" in out["steps"]
     # the chain must have produced both the coarse and the refined csvs
     names = " ".join(out["csvs"])
     assert "predictions/" in names and "predictions_refined/" in names
