@@ -14,7 +14,8 @@ Baseline: the reference repo publishes no absolute throughput (BASELINE.md);
 the paper (arXiv 2311.14155) reports the coarse stage at ~48 ms/image on a
 V100 for the BOP'23 suite — about 2.6 detections/image on LM-O -> ~54
 crops/sec; we use 54 crops/sec as the PyTorch-reference yardstick for
-`vs_baseline` and note it is an estimate, not a measured A100 number.
+`vs_baseline` and note it is an estimate, not a measured A100 number
+(full derivation: BASELINE.md "The 54 crops/s yardstick — provenance").
 
 Env knobs: GIGAPOSE_BENCH_MODEL (force a single backbone),
 GIGAPOSE_BENCH_BATCH (default: the per-model measured sweet spot),
@@ -410,7 +411,29 @@ def main():
     # (the defaults test.py resolves from the model configs; each justified by
     # the BENCH sweeps in ROUND_NOTES.md). Set the env knobs to 0 to measure
     # the XLA/f32 fallbacks.
-    on_tpu = jax.default_backend() == "tpu"
+    try:
+        # first backend touch: if the axon relay is wedged this raises
+        # RuntimeError(UNAVAILABLE) — emit a parseable sentinel line instead
+        # of the BENCH_r03-style traceback so the driver artifact stays valid
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception as exc:
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"bench mode={mode} [ERROR: backend unavailable: "
+                        f"{type(exc).__name__}]"
+                    ),
+                    "value": 0.0,
+                    "unit": "crops/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu_unavailable",
+                }
+            ),
+            flush=True,
+        )
+        watchdog.cancel()
+        return
     if on_tpu:
         os.environ.setdefault("GIGAPOSE_BENCH_PALLAS", "1")
         os.environ.setdefault("GIGAPOSE_BENCH_BF16", "1")
