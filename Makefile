@@ -1,12 +1,25 @@
 # Convenience targets (see CLAUDE.md for the environment rules)
 
-.PHONY: test test-slow bench native selfcheck selfcheck-full dryrun
+.PHONY: test test-slow slowcheck bench native selfcheck selfcheck-full dryrun
 
 test:
 	./run_tests.sh
 
 test-slow:
 	env PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -m slow
+
+slowcheck:  # slow suite (accuracy gates: unpinned selfcheck, AR no-degradation,
+	# 2-process train) with a committed result artifact for the round record
+	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+		python -m pytest tests/ -m slow -q --junitxml=artifacts/slowcheck.xml \
+		| tee /tmp/slowcheck.out; \
+	python -c "import json, sys, time, pathlib; \
+	out = pathlib.Path('/tmp/slowcheck.out').read_text(); \
+	line = [l for l in out.splitlines() if 'passed' in l or 'failed' in l][-1]; \
+	rec = {'ts': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()), 'summary': line.strip()}; \
+	p = pathlib.Path('artifacts/slowcheck.jsonl'); p.parent.mkdir(exist_ok=True); \
+	f = p.open('a'); f.write(json.dumps(rec) + chr(10)); f.close(); \
+	print('recorded:', rec)"
 
 native:
 	$(MAKE) -C native

@@ -12,8 +12,9 @@ TPU-native rebuild of the error math behind the reference's eval stacks:
   meters/utils.py:160-180).
 
 Conventions: rotations are (3,3) row-major, translations mm, points mm (N,3).
-Symmetries are given as a stacked set (S,3,3)+(S,3) that always includes the
-identity (see scorer.symmetry_set).
+Symmetries are given as a stacked set (S,3,3)+(S,3) from scorer.symmetry_set
+(bop_toolkit semantics: the pure identity is present unless the object has a
+continuous symmetry, in which case only discretized compositions appear).
 """
 
 from __future__ import annotations
@@ -116,12 +117,26 @@ def _default_syms(sym_R, sym_t):
     return np.asarray(sym_R, np.float32), np.asarray(sym_t, np.float32)
 
 
+def depth_im_to_dist_im(depth_im: np.ndarray, K: np.ndarray) -> np.ndarray:
+    """Depth (z along the optical axis) -> distance from the camera center,
+    bop_toolkit misc.depth_im_to_dist_im_fast: dist = z * ||((u-cx)/fx,
+    (v-cy)/fy, 1)||. Zero (invalid/background) stays zero."""
+    d = np.asarray(depth_im, np.float64)
+    K = np.asarray(K, np.float64)
+    h, w = d.shape
+    xs = (np.arange(w, dtype=np.float64) - K[0, 2]) / K[0, 0]
+    ys = (np.arange(h, dtype=np.float64) - K[1, 2]) / K[1, 1]
+    norm = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2 + 1.0)
+    return d * norm
+
+
 def vsd_error(
     depth_est: np.ndarray,
     depth_gt: np.ndarray,
     depth_test: np.ndarray,
     delta: float = 15.0,
     taus=(20.0,),
+    K: np.ndarray = None,
 ) -> np.ndarray:
     """Visible Surface Discrepancy (BOP19 'step' cost), host-side numpy.
 
@@ -130,8 +145,16 @@ def vsd_error(
     0 = invalid). Visibility of a rendered surface = rendered pixels not
     occluded by the measured scene (rendered depth <= scene depth + delta, or
     scene depth invalid) — the bop_toolkit visibility model
-    (bop_toolkit_lib/visibility.py semantics). Returns one error per tau in
-    [0, 1]; 1 where both visibility masks are empty (non-overlapping est)."""
+    (bop_toolkit_lib/visibility.py, visib_mode='bop19'). With K given, all
+    three depth images are first converted to DISTANCE images
+    (depth_im_to_dist_im), exactly as bop_toolkit's vsd() does before any
+    comparison — off-center pixels then compare along the viewing ray, which
+    shifts delta/tau decisions near the image borders. Returns one error per
+    tau in [0, 1]; 1 where both visibility masks are empty."""
+    if K is not None:
+        depth_est = depth_im_to_dist_im(depth_est, K)
+        depth_gt = depth_im_to_dist_im(depth_gt, K)
+        depth_test = depth_im_to_dist_im(depth_test, K)
     d_e = np.asarray(depth_est, np.float64)
     d_g = np.asarray(depth_gt, np.float64)
     d_t = np.asarray(depth_test, np.float64)

@@ -10,12 +10,19 @@ greedy score-ordered matching + threshold-grid recall of
 bop_toolkit/scripts/eval_bop19_pose. scripts/eval_bop.py falls back to this
 when bop_toolkit is absent.
 
-Known deviations from bop_toolkit (documented, fixture-scale exact):
-- continuous symmetries are discretized by the same max-arc-step rule but
-  with the vertex radius measured about the symmetry axis (bop_toolkit uses
-  the table in models_info + its own discretization count);
-- VSD visibility uses the rendered-vs-measured depth test only (no
-  morphological closing of the visibility masks).
+bop_toolkit-exactness (r4): the two previously-documented deviations are
+closed —
+- continuous-symmetry discretization now replicates
+  misc.get_symmetry_transformations exactly (fixed ceil(pi/0.01) step
+  count, cont∘disc composition, no pure identity when a continuous
+  symmetry exists — see symmetry_set below; goldens in
+  tests/test_eval.py::test_symmetry_set_bop_toolkit_exact);
+- VSD converts all three depth images to DISTANCE images
+  (misc.depth_im_to_dist_im_fast) before the visibility/cost comparisons
+  (errors.depth_im_to_dist_im; golden in
+  tests/test_eval.py::test_vsd_distance_image_semantics). The visibility
+  masks themselves were already the bop19 formulas (bop_toolkit's
+  visibility.py applies no morphology in visib_mode='bop19').
 """
 
 from __future__ import annotations
@@ -80,44 +87,56 @@ def _diameter(verts: np.ndarray, cap: int = 2000) -> float:
 
 
 def symmetry_set(
-    info: dict, verts_mm: np.ndarray, max_disc_step: float = 0.01
+    info: dict, verts_mm: Optional[np.ndarray] = None,
+    max_disc_step: float = 0.01,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(S,3,3),(S,3) symmetry transforms incl. identity: the models_info
-    discrete set composed with a discretized continuous set (bop_toolkit
-    misc.get_symmetry_transformations semantics: consecutive discretized
-    rotations move no vertex farther than max_disc_step * diameter)."""
+    """(S,3,3),(S,3) symmetry transforms — bop_toolkit
+    misc.get_symmetry_transformations semantics, replicated EXACTLY:
+
+    - continuous symmetries are discretized into a FIXED
+      ceil(pi / max_disc_step) steps (the toolkit's bound assumes the
+      farthest vertex sits at diameter/2 from the axis: per-step arc
+      (2pi/n)(d/2) <= max_disc_step * d  =>  n >= pi/max_disc_step),
+      NOT a per-mesh vertex-radius count — 315 steps at the BOP19 default
+      max_sym_disc_step = 0.01;
+    - the continuous set excludes the identity (i runs 1..n-1), and when a
+      continuous symmetry exists the combined set contains ONLY
+      cont∘disc compositions — the pure identity is absent, exactly as in
+      the toolkit (a perfect estimate then scores the <=1%-of-diameter
+      residual of the nearest discretized rotation, far under the 5%
+      lowest BOP19 threshold);
+    - composition order is cont∘disc: R = R_cont @ R_disc,
+      t = R_cont @ t_disc + t_cont.
+
+    verts_mm is unused (kept for call-site compatibility; the toolkit's
+    count is mesh-independent)."""
+    del verts_mm
     disc_R = [np.eye(3)]
     disc_t = [np.zeros(3)]
     for m in info.get("symmetries_discrete", []):
         T = np.asarray(m, np.float64).reshape(4, 4)
         disc_R.append(T[:3, :3])
         disc_t.append(T[:3, 3])
-    cont_R = [np.eye(3)]
-    cont_t = [np.zeros(3)]
-    diameter = info.get("diameter", _diameter(verts_mm))
+    cont_R: List[np.ndarray] = []
+    cont_t: List[np.ndarray] = []
     for sym in info.get("symmetries_continuous", []):
         axis = np.asarray(sym["axis"], np.float64)
         axis = axis / np.linalg.norm(axis)
         offset = np.asarray(sym.get("offset", [0, 0, 0]), np.float64)
-        # vertex radius about the axis bounds the per-step arc movement
-        rel = verts_mm - offset
-        radial = rel - np.outer(rel @ axis, axis)
-        r_max = float(np.linalg.norm(radial, axis=1).max())
-        if r_max < 1e-9:
-            continue
-        phi = 2.0 * np.arcsin(min(1.0, max_disc_step * diameter / (2.0 * r_max)))
-        n = max(2, int(np.ceil(2.0 * np.pi / max(phi, 1e-6))))
-        n = min(n, 64)  # bound the jitted (S,N) shape; <=64 steps is <0.05 rad
+        n = int(np.ceil(np.pi / max_disc_step))
         for k in range(1, n):
-            a = 2.0 * np.pi * k / n
-            R = _axis_angle(axis, a)
+            R = _axis_angle(axis, 2.0 * np.pi * k / n)
             cont_R.append(R)
             cont_t.append(offset - R @ offset)
     R, t = [], []
     for dR, dt in zip(disc_R, disc_t):
-        for cR, ct in zip(cont_R, cont_t):
-            R.append(dR @ cR)
-            t.append(dR @ ct + dt)
+        if cont_R:
+            for cR, ct in zip(cont_R, cont_t):
+                R.append(cR @ dR)
+                t.append(cR @ dt + ct)
+        else:
+            R.append(dR)
+            t.append(dt)
     return np.stack(R).astype(np.float32), np.stack(t).astype(np.float32)
 
 
@@ -299,7 +318,7 @@ def score_bop(
                     d_est = _render_depth_mm(g, K, R_e, t_e, W, H)
                     taus = np.arange(0.05, 0.51, 0.05) * g["diameter"]
                     m["vsd"][i, j] = E.vsd_error(
-                        d_est, d_gt, depth_test, VSD_DELTA, taus)
+                        d_est, d_gt, depth_test, VSD_DELTA, taus, K=K)
                 elif "vsd" in error_types:
                     m["vsd"][i, j] = 1.0  # no depth -> VSD undefined/failed
         for e in error_types:

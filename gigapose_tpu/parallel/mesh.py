@@ -8,9 +8,12 @@ Under JAX's single-controller SPMD model all of that collapses to:
 - replicated (or object-sharded) parameters/template stores,
 - XLA-inserted collectives (psum for grad all-reduce) riding ICI.
 
-Multi-host (the reference's SLURM path, train.py:40-45) is
-jax.distributed.initialize + the same code; collectives cross DCN only at the
-mesh boundaries JAX chooses. Nothing here is hand-scheduled.
+Multi-host (the reference's SLURM path, train.py:40-45) is wired in
+`parallel/multihost.py`: env-driven jax.distributed.initialize in the entry
+points, per-process local-shard batch assembly (shard_batch below routes
+there when process_count > 1), process-0 filesystem guards, and a
+2-process integration test (tests/test_multihost.py). Collectives cross DCN
+only at the mesh boundaries JAX chooses. Nothing here is hand-scheduled.
 """
 
 from __future__ import annotations
@@ -23,10 +26,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("dp",)
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("dp",),
+    local: bool = False,
 ) -> Mesh:
-    """1-D data-parallel mesh over the first n devices (default: all)."""
-    devs = jax.devices()
+    """1-D data-parallel mesh over the first n devices (default: all).
+    local=True restricts to this process's devices — for multi-process
+    inference where each process runs independent per-image computations."""
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     shape = (len(devs),) + (1,) * (len(axis_names) - 1)
@@ -47,7 +54,15 @@ def replicate(tree, mesh: Mesh):
 def shard_batch(tree, mesh: Mesh):
     """Put a pytree of batch arrays with sharded leading axis on the mesh.
     Leading axis must be divisible by the dp size (pad upstream; the pipeline
-    always pads to fixed batch sizes anyway)."""
+    always pads to fixed batch sizes anyway).
+
+    Multi-process: the caller's tree is its LOCAL shard (per-process batch);
+    the global array is assembled from every process's rows without
+    cross-host transfers. Single-process: plain device_put."""
+    if jax.process_count() > 1:
+        from gigapose_tpu.parallel.multihost import global_batch_from_local
+
+        return global_batch_from_local(tree, mesh)
     s = NamedSharding(mesh, P("dp"))
     return jax.device_put(tree, s)
 

@@ -99,6 +99,15 @@ class CoarseRunner:
         cache_path = (
             osp.join(template_dir, f"onboarded_{cache_tag}.npz") if cache_tag else None
         )
+        # multi-process + shared-fs cache: rank 0 builds/validates the cache,
+        # everyone else waits here and then loads it (no concurrent savez)
+        import jax as _jax
+
+        from gigapose_tpu.parallel import multihost
+
+        coordinate = cache_path is not None and _jax.process_count() > 1
+        if coordinate and not multihost.is_primary():
+            multihost.barrier("onboard-cache")
         if cache_path and osp.exists(cache_path):
             data = np.load(cache_path)
             fields = {k: jnp.asarray(data[k]) for k in data.files}
@@ -107,6 +116,8 @@ class CoarseRunner:
                 fields["ist_features"] = fields["ist_features"].astype(feature_dtype)
             store = TemplateStore(**fields)
             logger.info(f"Loaded onboarded store from {cache_path}")
+            if coordinate and multihost.is_primary():
+                multihost.barrier("onboard-cache")  # release the waiters
             return cls(estimator=estimator, store=store, save_dir=save_dir,
                        dataset_name=dataset_name, template_dir=template_dir,
                        **kwargs)
@@ -138,6 +149,8 @@ class CoarseRunner:
                    for f in dataclasses.fields(store)},
             )
             logger.info(f"Saved onboarded store to {cache_path}")
+        if coordinate and multihost.is_primary():
+            multihost.barrier("onboard-cache")  # cache on disk; release waiters
         return cls(estimator=estimator, store=store, save_dir=save_dir,
                    dataset_name=dataset_name, template_dir=template_dir, **kwargs)
 
@@ -213,18 +226,33 @@ class CoarseRunner:
         run_id="0",
         max_images: Optional[int] = None,
     ) -> List[str]:
+        from gigapose_tpu.parallel import multihost
+
         pred_dir = osp.join(self.save_dir, "predictions")
         os.makedirs(pred_dir, exist_ok=True)
         # drop stale batches from previous runs: the merge globs *.npz, and a
-        # shorter rerun would otherwise silently include leftovers
-        for f in os.listdir(pred_dir):
-            if f.endswith(".npz"):
-                os.remove(osp.join(pred_dir, f))
+        # shorter rerun would otherwise silently include leftovers. Multi-
+        # process: only process 0 cleans (a concurrent clean would race the
+        # other processes' fresh files), everyone syncs before writing.
+        if multihost.is_primary():
+            for f in os.listdir(pred_dir):
+                if f.endswith(".npz"):
+                    os.remove(osp.join(pred_dir, f))
+        multihost.barrier("pred-clean")
+        # multi-process inference is embarrassingly parallel over images
+        # (each process runs its own chips; no cross-host batch): round-robin
+        # image split, shared-filesystem npz, rank-0 merge — the reference
+        # gathers per-rank predictions the same way (inout.py + DDP gather)
+        import jax as _jax
+
+        proc_id, n_proc = _jax.process_index(), _jax.process_count()
         timer = Timer()
         n_img = 0
         for idx_batch, image in enumerate(dataset):
-            if max_images is not None and n_img >= max_images:
+            if max_images is not None and idx_batch >= max_images:
                 break
+            if idx_batch % n_proc != proc_id:
+                continue
             n_img += 1
             timer.tic()
             N = len(image.labels)
@@ -268,6 +296,10 @@ class CoarseRunner:
                 detection_time=det_times,
             )
         logger.info(f"Ran coarse inference on {n_img} images")
+        # all processes' npz files must exist before the rank-0 merge
+        multihost.barrier("pred-merge")
+        if not multihost.is_primary():
+            return []
         return bop_io.merge_batched_predictions(
             pred_dir, self.dataset_name, model_name, run_id, is_refined=False
         )

@@ -14,12 +14,19 @@ from gigapose_tpu.training.state import TrainState
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int):
+    """Multi-process: call on EVERY process with the (replicated, host-
+    fetched) state — orbax runs its own cross-process barriers and writes
+    from rank 0 only; the "last" pointer below is rank-0-guarded too."""
     path = osp.join(osp.abspath(ckpt_dir), f"step_{step:08d}")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
-    # "last" pointer for resume
-    with open(osp.join(ckpt_dir, "last"), "w") as f:
-        f.write(path)
+    import jax
+
+    if jax.process_index() == 0:
+        # "last" pointer for resume (orbax's final barrier above means the
+        # checkpoint is complete on disk before any process returns)
+        with open(osp.join(ckpt_dir, "last"), "w") as f:
+            f.write(path)
     return path
 
 

@@ -63,14 +63,23 @@ def fit(
             start_step = int(state.step)
             logger.info(f"Resumed from {last} (step {start_step})")
 
+    from gigapose_tpu.parallel import multihost
+    from gigapose_tpu.parallel.mesh import shard_batch
+
+    primary = multihost.is_primary()
     step_fn = functools.partial(train_step, ae_net, ist_net, tx, optim_cfg)
     prep_fn = jax.jit(prepare_train_batch, static_argnames=("target_size", "patch_size"))
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        dp = NamedSharding(mesh, P("dp"))
+        # identical seed + identical warm-start/resume on every process ->
+        # identical host values; replication is therefore value-correct
+        # multi-host (the reference relies on DDP broadcasting rank-0 weights,
+        # distributed.py; here every controller constructs the same state)
         state = jax.device_put(state, repl)
         step_fn = jax.jit(step_fn, out_shardings=(repl, repl))
-        put_batch = lambda b: jax.device_put(b, dp)
+        # each process preps ONLY its local rows; shard_batch assembles the
+        # global (local_B x process_count) array from per-process shards
+        put_batch = lambda b: shard_batch(b, mesh)
     else:
         step_fn = jax.jit(step_fn)
         put_batch = lambda b: b
@@ -90,7 +99,7 @@ def fit(
                 return
 
     mlog = None
-    if fit_cfg.log_dir:
+    if fit_cfg.log_dir and primary:  # process-0-only filesystem writes
         from gigapose_tpu.utils.metrics import MetricsLogger
 
         mlog = MetricsLogger(fit_cfg.log_dir)
@@ -131,7 +140,8 @@ def fit(
         if step % fit_cfg.log_every == 0 or step == 1:
             m = {k: float(v) for k, v in metrics.items()}
             rate = (step - start_step) / (time.perf_counter() - t0)
-            logger.info(f"step {step}: {m} ({rate:.2f} it/s)")
+            if primary:
+                logger.info(f"step {step}: {m} ({rate:.2f} it/s)")
             if mlog:
                 mlog.log_scalars(step, m)
             if metrics_hook:
@@ -139,6 +149,9 @@ def fit(
         if fit_cfg.val_every and step % fit_cfg.val_every == 0:
             run_validation(step)
         if fit_cfg.ckpt_dir and step % fit_cfg.checkpoint_every == 0:
+            # every process calls save (orbax's Checkpointer does its own
+            # cross-process syncs and rank-0 writes — calling it on a subset
+            # deadlocks); the "last" pointer inside is process-0-guarded
             ckpt_lib.save_checkpoint(fit_cfg.ckpt_dir, jax.device_get(state), step)
     if fit_cfg.ckpt_dir:
         ckpt_lib.save_checkpoint(fit_cfg.ckpt_dir, jax.device_get(state), step)

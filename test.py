@@ -122,6 +122,14 @@ def _maybe_quantize(est, cfg):
 
 
 def main(argv=None):
+    # multi-host first, before any backend touch (mirrors the reference's
+    # early NCCL init); no-op without the GIGAPOSE_COORDINATOR/_DISTRIBUTED
+    # env. Multi-process inference splits images round-robin across
+    # processes (runner.run), each computing on its local chips only.
+    from gigapose_tpu.parallel.multihost import maybe_initialize
+
+    _, n_proc = maybe_initialize()
+
     from gigapose_tpu.dataloader.test_set import InferenceDataset
     from gigapose_tpu.pipeline.runner import CoarseRunner
     from gigapose_tpu.utils.config import load_config
@@ -177,7 +185,11 @@ def main(argv=None):
 
     from gigapose_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    if n_proc > 1:
+        # per-image work is process-local; shard detections over local chips
+        mesh = make_mesh(local=True) if len(jax.local_devices()) > 1 else None
+    else:
+        mesh = make_mesh() if jax.device_count() > 1 else None
     runner = CoarseRunner.onboard(
         est,
         template_dir=template_dir,
@@ -211,7 +223,8 @@ def main(argv=None):
         run_id=cfg.run_id,
         max_images=cfg.get("max_images"),
     )
-    print("Wrote:", *paths, sep="\n  ")
+    if paths:  # rank-0 only in multi-process runs (runner merges there)
+        print("Wrote:", *paths, sep="\n  ")
 
 
 if __name__ == "__main__":

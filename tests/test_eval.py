@@ -139,11 +139,69 @@ def test_symmetry_set_continuous():
     }
     sym_R, sym_t = symmetry_set(info, verts)
     assert sym_R.shape[0] >= 8  # discretized into multiple steps
-    assert np.allclose(sym_R[0], np.eye(3))  # identity first
     for R, t in zip(sym_R, sym_t):
         mapped = verts @ R.T + t
         d = np.linalg.norm(mapped[:, None] - verts[None], axis=-1).min(1)
         assert d.max() < 61.0 * 0.01 * 2 + 3.0  # within the disc step bound
+
+
+def test_symmetry_set_bop_toolkit_exact():
+    """Golden for bop_toolkit misc.get_symmetry_transformations exactness:
+    fixed ceil(pi/0.01)=315 step count (mesh-INDEPENDENT — the old
+    vertex-radius rule would give a different count for this near-axis
+    mesh), 1..n-1 continuous steps with NO pure identity, t = o - R o,
+    and cont∘disc composition order."""
+
+    def axis_angle(axis, a):
+        x, y, z = axis
+        K = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]])
+        return np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * (K @ K)
+
+    n = int(np.ceil(np.pi / 0.01))  # 315
+    offset = np.array([1.0, 2.0, 3.0])
+    info = {
+        "diameter": 60.0,
+        "symmetries_continuous": [
+            {"axis": [0, 0, 1], "offset": offset.tolist()}
+        ],
+    }
+    # near-axis sliver mesh: the old radius rule would discretize this into
+    # far fewer steps; bop_toolkit's count ignores the mesh entirely
+    sliver = np.array([[0.01, 0, -30], [0.01, 0, 30], [0, 0.01, 0]])
+    sym_R, sym_t = symmetry_set(info, sliver)
+    assert sym_R.shape == (n - 1, 3, 3)  # 314: i = 1..314, no identity
+    assert not any(np.allclose(R, np.eye(3), atol=1e-9) for R in sym_R)
+    for k in (1, 7, 313):
+        R_exp = axis_angle([0, 0, 1], 2.0 * np.pi * k / n)
+        np.testing.assert_allclose(sym_R[k - 1], R_exp, atol=1e-6)
+        np.testing.assert_allclose(
+            sym_t[k - 1], offset - R_exp @ offset, atol=1e-4
+        )
+
+    # composition: one discrete sym D (rotation + translation); the combined
+    # set is [cont_k ∘ I]*314 then [cont_k ∘ D]*314, R = R_c R_D,
+    # t = R_c t_D + t_c (bop_toolkit's loop order and algebra)
+    T = np.eye(4)
+    T[:3, :3] = _rot([1, 0, 0], 180.0)
+    T[:3, 3] = [5.0, -4.0, 2.0]
+    info["symmetries_discrete"] = [T.flatten().tolist()]
+    sym_R2, sym_t2 = symmetry_set(info, sliver)
+    assert sym_R2.shape == (2 * (n - 1), 3, 3)
+    k = 7
+    R_c = axis_angle([0, 0, 1], 2.0 * np.pi * k / n)
+    t_c = offset - R_c @ offset
+    np.testing.assert_allclose(
+        sym_R2[(n - 1) + (k - 1)], R_c @ T[:3, :3], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        sym_t2[(n - 1) + (k - 1)], R_c @ T[:3, 3] + t_c, atol=1e-4
+    )
+
+    # discrete-only objects DO keep the identity (first row)
+    del info["symmetries_continuous"]
+    sym_R3, _ = symmetry_set(info, sliver)
+    assert sym_R3.shape == (2, 3, 3)
+    np.testing.assert_allclose(sym_R3[0], np.eye(3), atol=1e-9)
 
 
 def test_symmetry_set_discrete_composition():
@@ -180,6 +238,45 @@ def test_vsd_cases():
     errs = vsd_error(d_e2, d_gt, d_test, delta=50.0, taus=(20.0, 50.0))
     assert errs[0] == pytest.approx(1.0)
     assert errs[1] == pytest.approx(0.0)
+
+
+def test_vsd_distance_image_semantics():
+    """Golden for the bop_toolkit depth->distance conversion
+    (misc.depth_im_to_dist_im_fast): off-center pixels compare along the
+    viewing ray, so a z-difference inside tau can be a distance-difference
+    outside it. Hand-constructed single-pixel case where z-space and
+    dist-space verdicts disagree."""
+    from gigapose_tpu.eval.errors import depth_im_to_dist_im
+
+    H, W = 4, 8
+    # principal point at (0,0), fx=fy=4: pixel (u=7,v=0) has
+    # norm = sqrt((7/4)^2 + 0 + 1) = sqrt(65)/4 ≈ 2.0156
+    K = np.array([[4.0, 0, 0], [0, 4.0, 0], [0, 0, 1]])
+    norm = np.sqrt((7.0 / 4.0) ** 2 + 1.0)
+
+    # conversion golden at two hand-computed pixels
+    z = np.zeros((H, W))
+    z[0, 7] = 400.0
+    z[3, 2] = 100.0
+    dist = depth_im_to_dist_im(z, K)
+    assert dist[0, 7] == pytest.approx(400.0 * norm)
+    assert dist[3, 2] == pytest.approx(
+        100.0 * np.sqrt((2.0 / 4.0) ** 2 + (3.0 / 4.0) ** 2 + 1.0)
+    )
+    assert dist[0, 0] == 0.0  # invalid stays invalid
+
+    # single visible pixel at (0,7): z-diff 20 <= tau 30 (match in z-space)
+    # but dist-diff 20*norm ≈ 40.3 > 30 (mismatch along the ray)
+    d_gt = np.zeros((H, W))
+    d_gt[0, 7] = 400.0
+    d_test = d_gt.copy()
+    d_est = np.zeros((H, W))
+    d_est[0, 7] = 420.0
+    # delta=100 keeps the estimate visible in both spaces
+    err_z = vsd_error(d_est, d_gt, d_test, delta=100.0, taus=(30.0,))
+    err_d = vsd_error(d_est, d_gt, d_test, delta=100.0, taus=(30.0,), K=K)
+    assert err_z[0] == pytest.approx(0.0)  # raw z: within tau
+    assert err_d[0] == pytest.approx(1.0)  # bop_toolkit distance: outside
 
 
 # ------------------------------------------------------------ greedy recall

@@ -1,0 +1,210 @@
+"""Multi-host (multi-process) integration tests.
+
+The reference trains multi-node via SLURM + NCCL DDP
+(/root/reference/train.py:40-45, src/megapose/utils/distributed.py:133-150)
+but ships NO multi-process test. Here the whole stack is exercised for real:
+two OS processes, each with 4 virtual CPU devices, connected through
+`jax.distributed.initialize` (gloo collectives) — the same code path a v5e
+pod slice with multiple hosts takes, with DCN swapped for localhost TCP.
+
+Structure: each test spawns 2 subprocesses running a script from this file;
+pytest itself never initializes the distributed runtime (it would poison the
+in-process backend for the rest of the suite).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn(script: str, n_proc: int, port: int, tmp: str, devices: int = 4,
+           timeout: int = 600):
+    """Run `script` in n_proc coordinated processes; return per-process
+    stdout. The GIGAPOSE_* env vars are the documented launch contract of
+    parallel/multihost.maybe_initialize."""
+    procs = []
+    for pid in range(n_proc):
+        env = dict(os.environ)
+        env.update(
+            PALLAS_AXON_POOL_IPS="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={devices}",
+            GIGAPOSE_COORDINATOR=f"127.0.0.1:{port}",
+            GIGAPOSE_NUM_PROCESSES=str(n_proc),
+            GIGAPOSE_PROCESS_ID=str(pid),
+            GIGAPOSE_TMP=tmp,
+            PYTHONPATH=REPO,
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", script],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+    return outs
+
+
+WIRING_SCRIPT = textwrap.dedent(
+    """
+    import os
+    import numpy as np
+    from gigapose_tpu.parallel.multihost import (
+        barrier, global_batch_from_local, is_primary, maybe_initialize,
+        split_work,
+    )
+
+    pi, pc = maybe_initialize()
+    import jax, jax.numpy as jnp
+    from gigapose_tpu.parallel.mesh import make_mesh, shard_batch
+
+    assert pc == 2 and pi == int(os.environ["GIGAPOSE_PROCESS_ID"])
+    assert jax.device_count() == 8 and len(jax.local_devices()) == 4
+    mesh = make_mesh()
+
+    # per-process local shards -> one global dp-sharded batch
+    local = {"x": np.full((4, 3), float(pi + 1), np.float32)}
+    gb = shard_batch(local, mesh)  # multi-process path (process_count > 1)
+    assert gb["x"].shape == (8, 3), gb["x"].shape
+    total = float(jax.jit(lambda t: jnp.sum(t["x"]))(gb))
+    # rows: 4*3 ones + 4*3 twos = 36, summed across hosts by the collective
+    assert total == 36.0, total
+    print(f"[p{pi}] SUM={total}")
+
+    # disjoint round-robin work split covering everything exactly once
+    mine = split_work(list(range(10)))
+    assert mine == list(range(pi, 10, 2))
+
+    # process-0 filesystem guard + barrier
+    marker = os.path.join(os.environ["GIGAPOSE_TMP"], "primary.txt")
+    if is_primary():
+        with open(marker, "w") as f:
+            f.write("p0")
+    barrier("wiring-test")
+    assert os.path.exists(marker)  # visible to both only after the barrier
+    print(f"[p{pi}] WIRING_OK primary={is_primary()}")
+    """
+)
+
+
+def test_multihost_wiring(tmp_path):
+    """2 processes x 4 virtual devices: initialize, global batch from local
+    shards, cross-host reduction, work split, primary guard, barrier."""
+    outs = _spawn(WIRING_SCRIPT, n_proc=2, port=_free_port(), tmp=str(tmp_path))
+    for pid, out in enumerate(outs):
+        assert "SUM=36.0" in out, out
+        assert "WIRING_OK" in out, out
+    assert (tmp_path / "primary.txt").read_text() == "p0"
+
+
+TRAIN_SCRIPT = textwrap.dedent(
+    """
+    import os
+    import numpy as np
+    from gigapose_tpu.parallel.multihost import maybe_initialize
+
+    pi, pc = maybe_initialize()
+    import jax
+    from gigapose_tpu.dataloader.train_set import HostTrainRecords
+    from gigapose_tpu.models.ae_net import AENet
+    from gigapose_tpu.models.ist_net import ISTBackbone, ISTNet, Regressor
+    from gigapose_tpu.parallel.mesh import make_mesh
+    from gigapose_tpu.training.loop import FitConfig, fit
+    from gigapose_tpu.training.state import OptimConfig
+
+    B = 4  # per-process batch; global 8 over the 8-device mesh
+
+    def records(seed):
+        # tiny synthetic scene batch; prepare_train_batch crops it to 224
+        rng = np.random.default_rng(seed)
+        H = W = 64
+        def img():
+            return rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+        mask = np.zeros((B, H, W), np.float32)
+        mask[:, 16:48, 16:48] = 1.0
+        K = np.tile(np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]],
+                             np.float32), (B, 1, 1))
+        pose = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        pose[:, 2, 3] = 0.5
+        box = np.tile(np.array([8.0, 8.0, 56.0, 56.0], np.float32), (B, 1))
+        depth = mask * 0.5
+        return HostTrainRecords(
+            q_rgb=img(), q_depth=depth, q_mask=mask, q_K=K, q_pose=pose,
+            q_box=box,
+            t_rgba=np.concatenate([img(), mask[:, None]], 1),
+            t_depth=depth, t_K=K, t_pose=pose, t_box=box,
+        )
+
+    # disjoint per-process streams, like the per-process TrainLoader seeds
+    loader = [records(100 + 10 * pi + i) for i in range(2)]
+
+    ae = AENet(model_name="vit_tiny_test")
+    ist = ISTNet(
+        backbone=ISTBackbone(initial_dim=8, block_dims=(8, 8, 12, 16),
+                             descriptor_size=16, input_size=256),
+        regressor=Regressor(hidden_dim=16),
+    )
+    tmp = os.environ["GIGAPOSE_TMP"]
+    seen = []
+    state = fit(
+        ae, ist, loader,
+        optim_cfg=OptimConfig(warm_up_steps=1),
+        fit_cfg=FitConfig(max_steps=2, log_every=1, checkpoint_every=2,
+                          ckpt_dir=os.path.join(tmp, "ckpt"),
+                          log_dir=os.path.join(tmp, f"logs")),
+        mesh=make_mesh(),
+        seed=0,
+    )
+    # state is replicated: every process must hold identical weights
+    w = jax.device_get(jax.tree_util.tree_leaves(state.ae_params)[0])
+    print(f"[p{pi}] FINAL step={int(state.step)} wsum={float(np.sum(w)):.6f}")
+    """
+)
+
+
+@pytest.mark.slow
+def test_multihost_train_fit(tmp_path):
+    """2-process data-parallel `fit`: global batch assembled from per-process
+    shards, XLA cross-host grad all-reduce, identical replicated state on
+    both controllers, rank-0-only checkpoint + metrics writes."""
+    outs = _spawn(
+        TRAIN_SCRIPT, n_proc=2, port=_free_port(), tmp=str(tmp_path),
+        timeout=900,
+    )
+    finals = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if "FINAL step=2" in l]
+        assert lines, out
+        finals.append(lines[0].split("wsum=")[1])
+    # bitwise-identical replicated weights on both processes
+    assert finals[0] == finals[1], finals
+    # rank-0-only filesystem writes
+    assert (tmp_path / "ckpt" / "last").exists()
+    step_dirs = [d for d in os.listdir(tmp_path / "ckpt") if d.startswith("step_")]
+    assert step_dirs == ["step_00000002"], step_dirs
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()

@@ -15,11 +15,18 @@ import sys
 
 
 def main(argv=None):
+    # multi-host first, before any backend touch (the reference inits NCCL
+    # equally early from SLURM env, train.py:40-45 + distributed.py:133-150);
+    # single-process when the GIGAPOSE_COORDINATOR/_DISTRIBUTED env is absent
+    from gigapose_tpu.parallel.multihost import maybe_initialize
+
+    proc_id, n_proc = maybe_initialize()
+
     import jax
 
     from gigapose_tpu.dataloader.scene import DirSceneSource, TarSceneSource
     from gigapose_tpu.dataloader.train_set import TrainLoader
-    from gigapose_tpu.parallel.mesh import best_dp_mesh
+    from gigapose_tpu.parallel.mesh import best_dp_mesh, make_mesh
     from gigapose_tpu.training.loop import FitConfig, fit
     from gigapose_tpu.training.state import OptimConfig
     from gigapose_tpu.utils.config import load_config
@@ -64,7 +71,13 @@ def main(argv=None):
                                    n_cpu - 1 if n_cpu > 1 else 1)),
         )
 
-    loaders = [make_loader(n, cfg.seed + i) for i, n in enumerate(ds_names)]
+    # per-process disjoint data streams: the webdataset split_by_node
+    # equivalent (reference webdataset pipelines shard by rank); each process
+    # draws from an independent seed and feeds only its local batch rows
+    loaders = [
+        make_loader(n, cfg.seed + i + 1000003 * proc_id)
+        for i, n in enumerate(ds_names)
+    ]
     if len(loaders) == 1:
         loader = loaders[0]
     else:
@@ -154,7 +167,20 @@ def main(argv=None):
             print(f"Warm-started IST from {_path}: {n} tensors loaded")
             return state._replace(ist_params=params, ist_batch_stats=stats)
 
-    mesh = best_dp_mesh(cfg.machine.batch_size)
+    if n_proc > 1:
+        # machine.batch_size is PER-PROCESS (the reference's per-GPU DDP
+        # batch); the dp mesh spans every chip of every host and shards the
+        # global batch_size x n_proc batch
+        global_bs = cfg.machine.batch_size * n_proc
+        if global_bs % jax.device_count() != 0:
+            raise ValueError(
+                f"global batch {global_bs} (= {cfg.machine.batch_size} x "
+                f"{n_proc} processes) must divide over {jax.device_count()} "
+                "devices"
+            )
+        mesh = make_mesh()
+    else:
+        mesh = best_dp_mesh(cfg.machine.batch_size)
     state = fit(
         ae,
         ist,
@@ -174,7 +200,11 @@ def main(argv=None):
         val_loader=val_loader,
         warm_start=warm_start,
     )
-    print(f"Training done at step {int(state.step)}; checkpoints in {save_dir}/checkpoints")
+    if proc_id == 0:
+        print(
+            f"Training done at step {int(state.step)}; "
+            f"checkpoints in {save_dir}/checkpoints"
+        )
 
 
 if __name__ == "__main__":
