@@ -142,7 +142,11 @@ def bench_train(model: str):
     vit_bf16 = os.environ.get("GIGAPOSE_BENCH_VIT_BF16", "1" if on_tpu else "0") == "1"
     compute_dtype = "bfloat16" if vit_bf16 else None
 
-    ae_net = AENet(model_name=model, compute_dtype=compute_dtype)
+    # remat sweep knob: 0 = off, 1 = full per-block, or a
+    # jax.checkpoint_policies name (e.g. dots_saveable)
+    remat_env = os.environ.get("GIGAPOSE_BENCH_REMAT", "0")
+    remat = {"0": False, "1": True}.get(remat_env, remat_env)
+    ae_net = AENet(model_name=model, compute_dtype=compute_dtype, remat=remat)
     ist_net = default_ist_net(compute_dtype=compute_dtype)
     cfg = OptimConfig()
     state, tx = create_train_state(ae_net, ist_net, jax.random.PRNGKey(0), cfg)
@@ -161,7 +165,8 @@ def bench_train(model: str):
     )
 
     import functools
-    jfn = jax.jit(functools.partial(train_step, ae_net, ist_net, tx, cfg))
+    jfn = jax.jit(functools.partial(train_step, ae_net, ist_net, tx, cfg),
+                  donate_argnums=0)  # in-place param/opt-state buffers
     lowered = jfn.lower(state, batch)
     compiled = lowered.compile()
     try:
@@ -184,8 +189,8 @@ def bench_train(model: str):
             {
                 "metric": (
                     f"train step throughput ({model}, B={B}, "
-                    f"{'bf16' if vit_bf16 else 'f32'}) [vs_baseline = MFU; "
-                    "no published reference number]"
+                    f"{'bf16' if vit_bf16 else 'f32'}, remat={remat_env}) "
+                    "[vs_baseline = MFU; no published reference number]"
                 ),
                 "value": round(steps_per_s, 3),
                 "unit": "steps/s",

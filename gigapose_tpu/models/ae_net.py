@@ -25,7 +25,9 @@ class AENet(nn.Module):
     model_name: str = "dinov2_vitl14"
     compute_dtype: str = None  # "bfloat16" -> bf16 matmuls (f32 LN/residual)
     tp_mesh: object = None  # (dp, mp) Mesh for tensor parallelism (parallel.tp)
-    remat: bool = False  # checkpoint each block (training memory lever)
+    # checkpoint each block (training memory lever): False | True | a
+    # jax.checkpoint_policies name, e.g. "dots_saveable" (see ViTConfig.remat)
+    remat: object = False
 
     @property
     def cfg(self) -> ViTConfig:

@@ -46,7 +46,11 @@ class ViTConfig:
     # trades ~30% more forward FLOPs for O(depth) less activation HBM, the
     # standard lever for growing the per-chip train batch. Forward-only
     # inference is unaffected (XLA drops the checkpoint marker).
-    remat: bool = False
+    # False = no remat; True = full per-block remat; a string names a
+    # jax.checkpoint_policies entry (e.g. "dots_saveable": keep matmul
+    # outputs, recompute only the cheap elementwise tail — less recompute
+    # FLOPs than full remat at a fraction of the no-remat activation HBM).
+    remat: Any = False
     # tensor parallelism: a (dp, mp) jax.sharding.Mesh. Params are sharded by
     # parallel.tp (Megatron name rules); the one activation annotation the
     # compiler can't infer — heads-on-"mp" for the qkv reshape — is applied in
@@ -218,7 +222,14 @@ class ViT(nn.Module):
                 axis=1,
             )
 
-        block_cls = nn.remat(Block) if c.remat else Block
+        if c.remat:
+            policy = (
+                getattr(jax.checkpoint_policies, c.remat)
+                if isinstance(c.remat, str) else None
+            )
+            block_cls = nn.remat(Block, policy=policy)
+        else:
+            block_cls = Block
         for i in range(c.depth):
             x = block_cls(c, name=f"block{i}")(x)
 

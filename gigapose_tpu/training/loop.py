@@ -76,12 +76,14 @@ def fit(
         # multi-host (the reference relies on DDP broadcasting rank-0 weights,
         # distributed.py; here every controller constructs the same state)
         state = jax.device_put(state, repl)
-        step_fn = jax.jit(step_fn, out_shardings=(repl, repl))
+        # donate the state: params/opt-state buffers are reused in place,
+        # halving the step's HBM high-water mark vs copy-on-update
+        step_fn = jax.jit(step_fn, out_shardings=(repl, repl), donate_argnums=0)
         # each process preps ONLY its local rows; shard_batch assembles the
         # global (local_B x process_count) array from per-process shards
         put_batch = lambda b: shard_batch(b, mesh)
     else:
-        step_fn = jax.jit(step_fn)
+        step_fn = jax.jit(step_fn, donate_argnums=0)
         put_batch = lambda b: b
 
     def cycle(it: Iterable):

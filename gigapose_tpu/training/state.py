@@ -192,9 +192,15 @@ def compute_losses(
         )
 
     if cfg.nets_to_train in ("ae", "all"):
-        # contrastive loss on corresponding patches (gigaPose.py:146-192)
-        src_feat = ae_net.apply({"params": params["ae"]}, batch.src_img)
-        tar_feat = ae_net.apply({"params": params["ae"]}, batch.tar_img)
+        # contrastive loss on corresponding patches (gigaPose.py:146-192).
+        # src and tar go through ONE fused forward at batch 2B: numerically
+        # identical (the ViT has no cross-example coupling) but half the
+        # kernel dispatches and a bigger MXU batch than two B-sized applies
+        both = ae_net.apply(
+            {"params": params["ae"]},
+            jnp.concatenate([batch.src_img, batch.tar_img], axis=0),
+        )
+        src_feat, tar_feat = both[:B], both[B:]
         src_g, sv = gather_patches(src_feat, batch.src_pts)
         tar_g, tv = gather_patches(tar_feat, batch.tar_pts)
         v = (sv & tv).reshape(-1)

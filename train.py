@@ -113,9 +113,11 @@ def main(argv=None):
         from gigapose_tpu.models.ist_net import default_ist_net
 
         # model.ae_net.remat=true checkpoints each ViT block (activation
-        # memory ~O(1) in depth; the standard knob for larger per-chip batch)
+        # memory ~O(1) in depth; the standard knob for larger per-chip
+        # batch); remat=dots_saveable keeps matmul outputs and recomputes
+        # only the elementwise tail (less recompute at modest extra HBM)
         ae = AENet(model_name=cfg.model.ae_net.backbone,
-                   remat=bool(cfg.model.ae_net.get("remat")))
+                   remat=cfg.model.ae_net.get("remat") or False)
         ist = default_ist_net(cfg.model.ist_net.descriptor_size)
 
     optim = OptimConfig(
