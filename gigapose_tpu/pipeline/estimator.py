@@ -237,11 +237,17 @@ class GigaPoseEstimator:
         ist_vars = ist_net.init(k2, dummy, dummy, dummy_pts, dummy_pts)
         return cls(ae_net, ist_net, ae_params, ist_vars, config)
 
-    def quantize_serving(self, backend: Optional[str] = None) -> "GigaPoseEstimator":
+    def quantize_serving(
+        self, backend: Optional[str] = None, ist: bool = False
+    ) -> "GigaPoseEstimator":
         """Swap the AE backbone for the W8A8 int8 serving path
         (models/vit_int8: fused Pallas LN+quant+matmul / attention-block /
         MLP kernels — measured 1.6-1.7x over the bf16 flax forward on v5e
         at ViT-L B=16, feature cos >= 0.99999 vs bf16; ROUND_NOTES r3).
+
+        ist=True additionally swaps the IST ResNet backbone to int8 convs
+        (models/ist_int8 — XLA's native int8 MXU conv lowering; OFF by
+        default until the on-chip A/B is recorded).
 
         Inference-only. Call AFTER loading checkpoints and BEFORE template
         onboarding: queries and the template store must share one feature
@@ -253,6 +259,15 @@ class GigaPoseEstimator:
         q = AENetInt8.from_ae_net(self.ae_net, self.ae_params, backend=backend)
         self.ae_net = q
         self.ae_params = q.params
+        if ist:
+            from gigapose_tpu.models.ist_int8 import ISTNetInt8
+
+            iq = ISTNetInt8.from_ist_net(
+                self.ist_net, self.ist_vars,
+                backend="int8" if backend != "ref" else "ref",
+            )
+            self.ist_net = iq
+            self.ist_vars = iq.variables
         for k in ("_jitted", "ae_apply", "ist_apply"):
             self.__dict__.pop(k, None)  # drop jit caches built on the old net
         return self

@@ -115,9 +115,13 @@ def _maybe_quantize(est, cfg):
 
         sq = "int8" if jax.default_backend() == "tpu" else "off"
     if sq == "int8":
-        est.quantize_serving()
+        # model.serving_quant_ist: off (default, pending the on-chip A/B) |
+        # int8 — swaps the IST ResNet to int8 convs too (models/ist_int8)
+        ist_q = str(cfg.model.get("serving_quant_ist", "off")).lower() == "int8"
+        est.quantize_serving(ist=ist_q)
         print("AE serving precision: int8 W8A8 fused kernels "
-              "(model.serving_quant=off for the bf16/f32 flax path)")
+              + ("+ int8 IST convs " if ist_q else "")
+              + "(model.serving_quant=off for the bf16/f32 flax path)")
     return est
 
 

@@ -1,0 +1,131 @@
+"""int8 IST backbone serving path (models/ist_int8).
+
+Mirrors the vit_int8/qmm test strategy: the "ref" backend computes the
+EXACT same quantized math in f32 on CPU, so fidelity and backend-equality
+are testable without a TPU; the "int8" backend (real int8 operands,
+int32 accumulation) must agree bit-for-bit in the dequantized output since
+both accumulations are exact for these operand sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigapose_tpu.models.ist_net import ISTBackbone, ISTNet, Regressor
+from gigapose_tpu.models.ist_int8 import (
+    ISTNetInt8, ist_features_int8, prepare_int8_ist_params,
+)
+
+
+def _tiny_ist(seed=0):
+    net = ISTNet(
+        backbone=ISTBackbone(initial_dim=16, block_dims=(16, 16, 24, 32),
+                             descriptor_size=32, input_size=256),
+        regressor=Regressor(hidden_dim=32),
+    )
+    d = jnp.zeros((1, 3, 224, 224), jnp.float32)
+    pts = jnp.zeros((1, 4, 2), jnp.float32)
+    ist_vars = net.init(jax.random.PRNGKey(seed), d, d, pts, pts)
+    return net, ist_vars
+
+
+def test_int8_ist_features_close_to_flax():
+    net, ist_vars = _tiny_ist()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 224, 224)), jnp.float32)
+    ref = net.apply(ist_vars, x, method=net.features)
+    qp = prepare_int8_ist_params(ist_vars, net.backbone)
+    got = ist_features_int8(qp, x, input_size=256, backend="ref")
+    assert got.shape == ref.shape == (2, 256, 32)
+    # cosine per patch descriptor: int8 conv quantization noise compounds
+    # over 9 convs + out_conv; per-channel weight scales keep it tight
+    cos = jnp.sum(got * ref, -1) / (
+        jnp.linalg.norm(got, axis=-1) * jnp.linalg.norm(ref, axis=-1) + 1e-9
+    )
+    assert float(cos.mean()) > 0.995, float(cos.mean())
+    assert float(cos.min()) > 0.97, float(cos.min())
+
+
+def test_int8_backend_matches_ref_backend():
+    """Real int8 operands (int32 accum) vs the f32 fake-quant reference:
+    both are exact accumulations of the same integers -> equal outputs."""
+    net, ist_vars = _tiny_ist(seed=1)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 3, 224, 224)), jnp.float32)
+    qp = prepare_int8_ist_params(ist_vars, net.backbone)
+    a = ist_features_int8(qp, x, 256, backend="ref")
+    b = ist_features_int8(qp, x, 256, backend="int8")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-4)
+
+
+def test_int8_ist_wrapper_dispatch():
+    """ISTNetInt8.apply dispatches features to the int8 path and regress to
+    the wrapped flax net, through the estimator's calling convention."""
+    net, ist_vars = _tiny_ist(seed=2)
+    q = ISTNetInt8.from_ist_net(net, ist_vars, backend="ref")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 3, 224, 224)), jnp.float32)
+    feats = q.apply(q.variables, x, method=q.features)
+    assert feats.shape == (1, 256, 32)
+    pts = jnp.asarray(rng.integers(0, 16, size=(1, 8, 2)), jnp.float32)
+    res = q.apply(q.variables, feats, feats, pts, pts, method=q.regress)
+    res_flax = net.apply(ist_vars, feats, feats, pts, pts, method=net.regress)
+    np.testing.assert_allclose(
+        np.asarray(res.scale), np.asarray(res_flax.scale), rtol=1e-5
+    )
+    # BN fold requires inference mode
+    with pytest.raises(NotImplementedError):
+        q.apply(q.variables, x, method=q.features, train=True)
+
+
+def test_estimator_pipeline_with_int8_ist():
+    """quantize_serving(ist=True) end to end: the coarse pipeline runs and
+    its retrieval/poses stay consistent with the float pipeline on the same
+    planted store (same tolerance style as test_qmm's pipeline test)."""
+    from gigapose_tpu.models.ae_net import AENet
+    from gigapose_tpu.pipeline.estimator import (
+        DetectionBatch, EstimatorConfig, GigaPoseEstimator,
+    )
+    from gigapose_tpu.pipeline.templates import TemplateStore
+
+    net, ist_vars = _tiny_ist(seed=3)
+    ae = AENet(model_name="vit_tiny_test")
+    k = jax.random.PRNGKey(3)
+    ae_params = ae.init(k, jnp.zeros((1, 3, 224, 224)))
+    cfg = EstimatorConfig(k=2)
+    est_f = GigaPoseEstimator(ae_net=ae, ist_net=net, ae_params=ae_params,
+                              ist_vars=ist_vars, config=cfg)
+    est_q = GigaPoseEstimator(ae_net=ae, ist_net=net, ae_params=ae_params,
+                              ist_vars=ist_vars, config=cfg)
+    est_q.quantize_serving(backend="ref", ist=True)
+
+    rng = np.random.default_rng(0)
+    B, V, P, C = 2, 5, 256, 64
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    store = TemplateStore(
+        ae_features=f(1, V, P, C),
+        ist_features=f(1, V, P, 32),
+        masks=jnp.ones((1, V, P), jnp.float32),
+        Ms=jnp.tile(jnp.eye(3), (1, V, 1, 1)),
+        poses=jnp.tile(jnp.eye(4), (1, V, 1, 1)).at[:, :, 2, 3].set(400.0),
+        K=jnp.tile(jnp.asarray(
+            [[572.0, 0, 320], [0, 573.0, 240], [0, 0, 1.0]]), (1, 1, 1)),
+    )
+    batch = DetectionBatch(
+        crops=f(B, 3, 224, 224),
+        masks=jnp.ones((B, P), jnp.float32),
+        labels=jnp.zeros((B,), jnp.int32),
+        Ks=jnp.tile(store.K[0][None], (B, 1, 1)),
+        Ms=jnp.tile(jnp.eye(3)[None], (B, 1, 1)),
+        valid=jnp.ones((B,), bool),
+    )
+    pred_f = est_f(store, batch)
+    pred_q = est_q(store, batch)
+    # retrieval is AE-driven and the AE int8 path is already oracled in
+    # test_qmm; here assert the int8-IST pipeline retrieves the same views
+    np.testing.assert_array_equal(
+        np.asarray(pred_f.view_ids), np.asarray(pred_q.view_ids)
+    )
+    assert np.isfinite(np.asarray(pred_q.poses)).all()
