@@ -9,17 +9,21 @@ test-slow:
 	env PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q -m slow
 
 slowcheck:  # slow suite (accuracy gates: unpinned selfcheck, AR no-degradation,
-	# 2-process train) with a committed result artifact for the round record
+	# 2-process train) with a committed result artifact for the round record.
+	# The pytest exit code is preserved: a failed gate fails the target.
 	env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
 		python -m pytest tests/ -m slow -q --junitxml=artifacts/slowcheck.xml \
-		| tee /tmp/slowcheck.out; \
-	python -c "import json, sys, time, pathlib; \
+		> /tmp/slowcheck.out 2>&1; rc=$$?; \
+	tail -5 /tmp/slowcheck.out; \
+	python -c "import json, time, pathlib; \
 	out = pathlib.Path('/tmp/slowcheck.out').read_text(); \
-	line = [l for l in out.splitlines() if 'passed' in l or 'failed' in l][-1]; \
-	rec = {'ts': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()), 'summary': line.strip()}; \
+	lines = [l for l in out.splitlines() if 'passed' in l or 'failed' in l]; \
+	line = lines[-1].strip() if lines else '<no pytest summary: crashed>'; \
+	rec = {'ts': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()), 'rc': $$rc, 'summary': line}; \
 	p = pathlib.Path('artifacts/slowcheck.jsonl'); p.parent.mkdir(exist_ok=True); \
 	f = p.open('a'); f.write(json.dumps(rec) + chr(10)); f.close(); \
-	print('recorded:', rec)"
+	print('recorded:', rec)"; \
+	exit $$rc
 
 native:
 	$(MAKE) -C native

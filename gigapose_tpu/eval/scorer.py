@@ -287,6 +287,10 @@ def score_bop(
         depth_test = scene_gt.depth(sid, iid) if "vsd" in error_types else None
         if depth_test is not None:
             H, W = depth_test.shape
+            # bop_toolkit compares DISTANCE images; convert the static scene
+            # depth ONCE per target group (est/gt renders are converted at
+            # render time below), not per (est, gt) pair
+            dist_test = E.depth_im_to_dist_im(depth_test, K)
         else:
             # image size from any rgb file is not needed for mssd; mspd
             # normalization uses 640 by protocol, the actual width only
@@ -312,13 +316,15 @@ def score_bop(
                         R_e, t_e, R_g, t_g, g["verts"], K, *g["sym"])
                 if "vsd" in error_types and depth_test is not None:
                     if j not in gt_depth_cache:
-                        gt_depth_cache[j] = _render_depth_mm(
-                            g, K, R_g, t_g, W, H)
-                    d_gt = gt_depth_cache[j]
-                    d_est = _render_depth_mm(g, K, R_e, t_e, W, H)
+                        gt_depth_cache[j] = E.depth_im_to_dist_im(
+                            _render_depth_mm(g, K, R_g, t_g, W, H), K)
+                    d_gt = gt_depth_cache[j]  # distance image (cached)
+                    d_est = E.depth_im_to_dist_im(
+                        _render_depth_mm(g, K, R_e, t_e, W, H), K)
                     taus = np.arange(0.05, 0.51, 0.05) * g["diameter"]
+                    # all three inputs are pre-converted -> K=None
                     m["vsd"][i, j] = E.vsd_error(
-                        d_est, d_gt, depth_test, VSD_DELTA, taus, K=K)
+                        d_est, d_gt, dist_test, VSD_DELTA, taus)
                 elif "vsd" in error_types:
                     m["vsd"][i, j] = 1.0  # no depth -> VSD undefined/failed
         for e in error_types:

@@ -101,11 +101,9 @@ class CoarseRunner:
         )
         # multi-process + shared-fs cache: rank 0 builds/validates the cache,
         # everyone else waits here and then loads it (no concurrent savez)
-        import jax as _jax
-
         from gigapose_tpu.parallel import multihost
 
-        coordinate = cache_path is not None and _jax.process_count() > 1
+        coordinate = cache_path is not None and jax.process_count() > 1
         if coordinate and not multihost.is_primary():
             multihost.barrier("onboard-cache")
         if cache_path and osp.exists(cache_path):
@@ -243,9 +241,7 @@ class CoarseRunner:
         # (each process runs its own chips; no cross-host batch): round-robin
         # image split, shared-filesystem npz, rank-0 merge — the reference
         # gathers per-rank predictions the same way (inout.py + DDP gather)
-        import jax as _jax
-
-        proc_id, n_proc = _jax.process_index(), _jax.process_count()
+        proc_id, n_proc = jax.process_index(), jax.process_count()
         timer = Timer()
         n_img = 0
         for idx_batch, image in enumerate(dataset):

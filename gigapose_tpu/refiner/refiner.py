@@ -44,6 +44,12 @@ class RefinerConfig:
     render_size: Tuple[int, int] = (160, 160)  # megapose render/crop size
     lamb: float = 1.4
     n_sample_points: int = 500
+    # score the INIT pose too and keep it wherever it outranks the refined
+    # pose — the refiner then never returns a pose its own scorer judges
+    # worse than its input (a robustness upgrade over the reference, which
+    # only scores refined hypotheses, pose_estimator.py:102-216; it clamps
+    # the runaway-update failure mode of a badly-conditioned refiner net)
+    keep_best_init: bool = True
 
 
 class MeshStore:
@@ -310,5 +316,22 @@ class RenderCompareRefiner:
         renders = self.meshes.render_batch(
             labels, np.asarray(TCO_n), np.asarray(K_crop), self.config.render_size
         )
-        scores = score_step(self.scorer_vars, crops, jnp.asarray(renders))
-        return np.asarray(TCO_n), np.asarray(scores)
+        scores = np.asarray(
+            score_step(self.scorer_vars, crops, jnp.asarray(renders))
+        )
+        TCO_out = np.asarray(TCO_n)
+        if self.config.keep_best_init:
+            # score the init pose with the same scorer; keep whichever wins
+            TCO_0, _, K_0, crops_0 = crop_step(imgs, Kd, jnp.asarray(
+                TCO_init, jnp.float32), pts)
+            renders_0 = self.meshes.render_batch(
+                labels, np.asarray(TCO_0), np.asarray(K_0),
+                self.config.render_size,
+            )
+            s0 = np.asarray(
+                score_step(self.scorer_vars, crops_0, jnp.asarray(renders_0))
+            )
+            keep = s0 > scores
+            TCO_out = np.where(keep[:, None, None], np.asarray(TCO_0), TCO_out)
+            scores = np.maximum(s0, scores)
+        return TCO_out, scores

@@ -195,12 +195,19 @@ def compute_losses(
         # contrastive loss on corresponding patches (gigaPose.py:146-192).
         # src and tar go through ONE fused forward at batch 2B: numerically
         # identical (the ViT has no cross-example coupling) but half the
-        # kernel dispatches and a bigger MXU batch than two B-sized applies
+        # kernel dispatches and a bigger MXU batch than two B-sized applies.
+        # INTERLEAVED (stack axis=1 then fold), not concatenated: under a
+        # dp-sharded batch axis, concat along axis 0 would misalign result
+        # rows with operand shards and make GSPMD insert collective-permutes
+        # (cross-DCN on multi-host); interleaving keeps every example's two
+        # images on the device that already holds it.
+        stacked = jnp.stack([batch.src_img, batch.tar_img], axis=1)
         both = ae_net.apply(
             {"params": params["ae"]},
-            jnp.concatenate([batch.src_img, batch.tar_img], axis=0),
+            stacked.reshape((2 * B,) + stacked.shape[2:]),
         )
-        src_feat, tar_feat = both[:B], both[B:]
+        both = both.reshape((B, 2) + both.shape[1:])
+        src_feat, tar_feat = both[:, 0], both[:, 1]
         src_g, sv = gather_patches(src_feat, batch.src_pts)
         tar_g, tv = gather_patches(tar_feat, batch.tar_pts)
         v = (sv & tv).reshape(-1)

@@ -125,6 +125,22 @@ def _maybe_quantize(est, cfg):
     return est
 
 
+def _cache_tag(cfg, est):
+    """Onboarded-store cache key: int8-served features are not
+    interchangeable with f32/bf16 caches, and an int8-IST store is not
+    interchangeable with a float-IST one — the key encodes BOTH serving
+    precisions (quantize_serving: queries and store must share one
+    extractor)."""
+    tag = cfg.get("onboarding_cache")
+    if not tag:
+        return tag
+    if type(est.ae_net).__name__ == "AENetInt8":
+        tag = f"{tag}-int8"
+    if type(est.ist_net).__name__ == "ISTNetInt8":
+        tag = f"{tag}-int8ist"
+    return tag
+
+
 def main(argv=None):
     # multi-host first, before any backend touch (mirrors the reference's
     # early NCCL init); no-op without the GIGAPOSE_COORDINATOR/_DISTRIBUTED
@@ -207,14 +223,7 @@ def main(argv=None):
             jnp.bfloat16 if str(cfg.model.get("feature_dtype", "")) == "bf16"
             else None
         ),
-        cache_tag=(
-            # int8-served features are not interchangeable with f32/bf16
-            # caches: key the store cache by serving precision
-            f"{cfg.get('onboarding_cache')}-int8"
-            if cfg.get("onboarding_cache")
-            and type(est.ae_net).__name__ == "AENetInt8"
-            else cfg.get("onboarding_cache")
-        ),
+        cache_tag=_cache_tag(cfg, est),
     )
     dataset = InferenceDataset(
         root_dir=root, dataset_name=ds, test_setting=cfg.test_setting,

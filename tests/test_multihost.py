@@ -38,7 +38,10 @@ def _spawn(script: str, n_proc: int, port: int, tmp: str, devices: int = 4,
     """Run `script` in n_proc coordinated processes; return per-process
     stdout. The GIGAPOSE_* env vars are the documented launch contract of
     parallel/multihost.maybe_initialize."""
-    procs = []
+    # child stdout goes to FILES, not PIPEs: with pipes, waiting on p0 while
+    # p1 fills its pipe buffer (e.g. a distributed-init traceback) deadlocks
+    # both at a barrier until the timeout; files never back-pressure
+    procs, logs = [], []
     for pid in range(n_proc):
         env = dict(os.environ)
         env.update(
@@ -51,20 +54,31 @@ def _spawn(script: str, n_proc: int, port: int, tmp: str, devices: int = 4,
             GIGAPOSE_TMP=tmp,
             PYTHONPATH=REPO,
         )
+        log = open(os.path.join(tmp, f"proc_{pid}.log"), "w+")
+        logs.append(log)
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-c", script],
-                env=env,
-                cwd=REPO,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
+                env=env, cwd=REPO, stdout=log, stderr=subprocess.STDOUT,
                 text=True,
             )
         )
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    finally:
+        # no orphaned coordinated children: they are our direct children
+        # with known pids (NOT a pattern kill)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
+    for log in logs:
+        log.flush()
+        log.seek(0)
+        outs.append(log.read())
+        log.close()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
     return outs
