@@ -39,19 +39,34 @@ import time
 import numpy as np
 
 
-def _arm_watchdog(label: str):
+class _Watchdog:
     """The axon TPU tunnel can wedge (device init then hangs indefinitely —
     observed in round 1). Emit a sentinel JSON line and exit instead of
-    hanging the driver."""
-    import threading
+    hanging the driver.
 
-    t = float(os.environ.get("GIGAPOSE_BENCH_WATCHDOG_S", "1800"))
+    Progress-aware: pet() re-arms the timer, so the budget bounds time since
+    the last *milestone* (a model's compile or measurement finishing), not
+    the whole multi-model run — a cold-cache two-backbone bench legitimately
+    exceeds 30 min total and must not be self-killed mid-session (a killed
+    claim wedges the relay for hours, r3 incident)."""
 
-    def fire():
+    def __init__(self, label: str):
+        import threading
+
+        self._threading = threading
+        self._t = float(os.environ.get("GIGAPOSE_BENCH_WATCHDOG_S", "1800"))
+        self._label = label
+        self._timer = None
+        self.pet()
+
+    def _fire(self):
         print(
             json.dumps(
                 {
-                    "metric": f"{label} [WATCHDOG: TPU session hung, no measurement]",
+                    "metric": (
+                        f"{self._label} [WATCHDOG: TPU session hung, "
+                        "no measurement]"
+                    ),
                     "value": 0.0,
                     "unit": "crops/s",
                     "vs_baseline": 0.0,
@@ -61,10 +76,20 @@ def _arm_watchdog(label: str):
         )
         os._exit(3)
 
-    timer = threading.Timer(t, fire)
-    timer.daemon = True
-    timer.start()
-    return timer
+    def pet(self):
+        if self._timer is not None:
+            self._timer.cancel()
+        self._timer = self._threading.Timer(self._t, self._fire)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def cancel(self):
+        if self._timer is not None:
+            self._timer.cancel()
+
+
+def _arm_watchdog(label: str):
+    return _Watchdog(label)
 
 
 def bench_onboarding(model: str):
@@ -176,8 +201,27 @@ def bench_train(model: str):
     )
 
     import functools
-    jfn = jax.jit(functools.partial(train_step, ae_net, ist_net, tx, cfg),
-                  donate_argnums=0)  # in-place param/opt-state buffers
+
+    # GIGAPOSE_BENCH_TRAIN_FWD=1: measure the LOSS FORWARD alone (no grad, no
+    # optimizer) — the decomposition point for the train-MFU floor analysis
+    # (fwd MFU vs full-step MFU isolates how much the backward pass costs).
+    if os.environ.get("GIGAPOSE_BENCH_TRAIN_FWD", "0") == "1":
+        from gigapose_tpu.training.state import compute_losses
+
+        def fwd_only(state, batch):
+            params = {"ae": state.ae_params, "ist": state.ist_params}
+            total, (metrics, _) = compute_losses(
+                ae_net, ist_net, params, state.ist_batch_stats, batch,
+                state.step, cfg,
+            )
+            return state, metrics
+
+        jfn = jax.jit(fwd_only)
+        step_label = "train LOSS-FWD-only"
+    else:
+        jfn = jax.jit(functools.partial(train_step, ae_net, ist_net, tx, cfg),
+                      donate_argnums=0)  # in-place param/opt-state buffers
+        step_label = "train step"
     lowered = jfn.lower(state, batch)
     compiled = lowered.compile()
     try:
@@ -199,7 +243,7 @@ def bench_train(model: str):
         json.dumps(
             {
                 "metric": (
-                    f"train step throughput ({model}, B={B}, "
+                    f"{step_label} throughput ({model}, B={B}, "
                     f"{'bf16' if vit_bf16 else 'f32'}, remat={remat_env}) "
                     "[vs_baseline = MFU; no published reference number]"
                 ),
@@ -371,6 +415,8 @@ def bench_coarse(model: str, watchdog=None):
 
     out = jfn(ae_params, ist_vars, store, batch)
     _ = np.asarray(out.poses)  # compile + warmup; host fetch forces completion
+    if watchdog is not None:
+        watchdog.pet()  # compile done = progress; re-arm for the measurement
 
     profile_dir = os.environ.get("GIGAPOSE_BENCH_PROFILE")
     if profile_dir and os.environ.get("PALLAS_AXON_POOL_IPS"):
@@ -468,17 +514,20 @@ def main():
             "dinov2_vits14", "dinov2_vitl14",
         ]:
             bench_stages(model)
+            watchdog.pet()
     elif mode == "train":
         for model in [forced_model] if forced_model else [
             "dinov2_vits14", "dinov2_vitl14",
         ]:
             bench_train(model)
+            watchdog.pet()
     else:
         # ViT-L (the reference default) last -> it is the driver headline
         for model in [forced_model] if forced_model else [
             "dinov2_vits14", "dinov2_vitl14",
         ]:
-            bench_coarse(model)
+            bench_coarse(model, watchdog=watchdog)
+            watchdog.pet()
     watchdog.cancel()
 
 

@@ -208,3 +208,32 @@ def test_train_from_tar_shards(tmp_path):
     valid = np.asarray(batch.src_pts[..., 0]) >= 0
     assert valid.sum() > 0
     np.testing.assert_allclose(np.asarray(batch.rel_scale), 1.0, atol=0.05)
+
+
+def test_bench_watchdog_pet_rearm(monkeypatch):
+    """bench.py's watchdog must be progress-aware: pet() re-arms the timer so
+    a multi-model cold-compile run is bounded per milestone, not in total
+    (a global-budget self-kill mid-session wedges the axon relay, r3)."""
+    import time
+
+    monkeypatch.setenv("GIGAPOSE_BENCH_WATCHDOG_S", "0.2")
+    import bench
+
+    fired = []
+    wd = bench._arm_watchdog("test")
+    monkeypatch.setattr(wd, "_fire", lambda: fired.append(1))
+    # keep petting past the raw budget: must never fire
+    for _ in range(4):
+        time.sleep(0.1)
+        wd.pet()
+    assert not fired
+    wd.cancel()
+    time.sleep(0.3)
+    assert not fired  # cancel() really cancels
+
+    wd2 = bench._arm_watchdog("test2")
+    monkeypatch.setattr(wd2, "_fire", lambda: fired.append(1))
+    wd2.pet()  # re-arm installs the patched _fire
+    time.sleep(0.35)
+    assert fired  # un-petted watchdog still fires
+    wd2.cancel()
