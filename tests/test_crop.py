@@ -81,3 +81,39 @@ def test_patch_index_location_roundtrip():
     loc = patch_index_to_location(idx, 16)
     back = (loc[:, 1] * 16 + loc[:, 0]).astype(jnp.int32)
     np.testing.assert_array_equal(np.asarray(back), np.arange(256))
+
+
+def test_gather_patches_onehot_bitexact():
+    """The one-hot MXU gather (the TPU lowering of gather_patches) must be
+    BIT-exact vs take_along_axis — values and gradients — since it silently
+    replaces the gather on the tpu backend."""
+    import jax
+    import jax.numpy as jnp
+    from gigapose_tpu.ops.gather import gather_patches_onehot
+
+    rng = np.random.default_rng(3)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        feats = jnp.asarray(rng.normal(size=(3, 16, 8)), dtype)
+        pts = rng.integers(-1, 4, size=(3, 10, 2)).astype(np.float32)
+        out_t, v_t = gather_patches(feats, pts)
+        out_o, v_o = gather_patches_onehot(feats, pts)
+        np.testing.assert_array_equal(np.asarray(v_t), np.asarray(v_o))
+        np.testing.assert_array_equal(
+            np.asarray(out_t, np.float32), np.asarray(out_o, np.float32)
+        )
+
+    # gradient wrt features: the one-hot transpose (a scatter-add) must equal
+    # take_along_axis's gather transpose exactly, duplicates included
+    feats = jnp.asarray(rng.normal(size=(2, 9, 4)), jnp.float32)
+    pts = np.zeros((2, 6, 2), np.float32)
+    pts[0, :3] = [[1, 1], [1, 1], [2, 0]]  # duplicate target accumulates
+    pts[0, 3:] = -1
+    pts[1, :] = [[0, 0], [1, 0], [2, 0], [0, 1], [1, 1], [-1, -1]]
+
+    def loss(fn, f):
+        out, valid = fn(f, jnp.asarray(pts))
+        return jnp.sum(out * valid[..., None] * jnp.arange(1.0, 7.0)[None, :, None])
+
+    g_t = jax.grad(lambda f: loss(gather_patches, f))(feats)
+    g_o = jax.grad(lambda f: loss(gather_patches_onehot, f))(feats)
+    np.testing.assert_array_equal(np.asarray(g_t), np.asarray(g_o))
