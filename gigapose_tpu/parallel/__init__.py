@@ -4,3 +4,9 @@ from gigapose_tpu.parallel.mesh import (
     replicate,
     data_parallel_sharding,
 )
+from gigapose_tpu.parallel.sharded_store import (
+    coarse_forward_sharded,
+    make_dp_tv_mesh,
+    shard_template_store,
+    sharded_match_and_gather,
+)

@@ -133,6 +133,32 @@ def coarse_forward(
     flat_ist = store.ist_features.reshape((-1,) + store.ist_features.shape[2:])
     src_ist = flat_ist[labels[:, None] * V + match.ids]  # (B, k, P, C2)
 
+    return finish_coarse(
+        ist_net, ist_vars, tar_ist, match, src_ist, store, batch, cfg
+    )
+
+
+def finish_coarse(
+    ist_net: ISTNet,
+    ist_vars,
+    tar_ist: jnp.ndarray,
+    match,
+    src_ist: jnp.ndarray,
+    store: TemplateStore,
+    batch: DetectionBatch,
+    cfg: EstimatorConfig,
+) -> CoarsePrediction:
+    """Steps 2b-4 of the coarse pipeline, shared between the replicated-store
+    path (coarse_forward) and the view-sharded store path
+    (parallel/sharded_store.coarse_forward_sharded): IST regression on the k
+    retrieved views' correspondences, RANSAC, hypothesis sorting, and
+    closed-form 6D recovery. `src_ist` is the already-gathered (B, k, P, C2)
+    IST feature block of the retrieved views; `store`'s Ms/poses/K must be the
+    full (unsharded) per-object arrays — they are tiny and stay replicated
+    even when the feature stores shard."""
+    P = cfg.num_patches**2
+    labels = batch.labels.astype(jnp.int32)
+
     def regress_one_k(src_feat_k, src_pts_k, tar_pts_k):
         return ist_net.apply(
             ist_vars,
