@@ -125,22 +125,40 @@ def _local_match_gather(
     patch_threshold: int,
     num_patches: int,
     view_axis: str,
+    use_pallas: bool,
 ):
     """Per-device body under shard_map (see module docstring steps 1-4)."""
     Vloc = ae_shard.shape[1]
     shard = jax.lax.axis_index(view_axis)
 
-    # 1. local matching — stock semantics on this shard's views
-    match = match_templates(
-        tar_ae,
-        ae_shard[labels],
-        tar_masks,
-        mask_shard[labels],
-        k=k,
-        sim_threshold=sim_threshold,
-        patch_threshold=patch_threshold,
-        num_patches=num_patches,
-    )
+    # 1. local matching — stock semantics on this shard's views; the fused
+    # Pallas kernel (ops/pallas_matching, the 10x TPU path) composes per
+    # shard since its contract is exactly this (store, labels) matching
+    if use_pallas:
+        from gigapose_tpu.ops.pallas_matching import pallas_match_templates
+
+        match = pallas_match_templates(
+            tar_ae,
+            ae_shard,
+            tar_masks,
+            mask_shard,
+            labels,
+            k=k,
+            sim_threshold=sim_threshold,
+            patch_threshold=patch_threshold,
+            num_patches=num_patches,
+        )
+    else:
+        match = match_templates(
+            tar_ae,
+            ae_shard[labels],
+            tar_masks,
+            mask_shard[labels],
+            k=k,
+            sim_threshold=sim_threshold,
+            patch_threshold=patch_threshold,
+            num_patches=num_patches,
+        )
     gids = match.ids + shard * Vloc  # local -> global view ids
 
     # 2. gather the S*k candidates (concat over shards along the k axis)
@@ -211,6 +229,7 @@ def sharded_match_and_gather(
         patch_threshold=cfg.patch_threshold,
         num_patches=cfg.num_patches,
         view_axis=view_axis,
+        use_pallas=cfg.use_pallas_matching,
     )
     f = shard_map(
         body,

@@ -68,14 +68,80 @@ class CoarseRunner:
     # data-parallel eval: shard padded batches over this mesh (store and
     # params replicated); None = single device
     mesh: Optional["jax.sharding.Mesh"] = None
+    # >1: shard the template store's VIEW axis over that many devices
+    # (parallel/sharded_store) — per-chip store HBM and matching FLOPs divide
+    # by store_shards; the remaining devices form the batch ("dp") axis.
+    # Exact same outputs as the replicated store (tests/test_sharded_store).
+    # Per-process: in multi-process runs each process shards over its own
+    # local devices (images are split round-robin across processes).
+    store_shards: int = 1
 
     def __post_init__(self):
-        if self.mesh is not None:
+        if self.store_shards > 1:
+            from gigapose_tpu.parallel.sharded_store import (
+                make_dp_tv_mesh,
+                shard_template_store,
+            )
+
+            devs = (
+                list(self.mesh.devices.flat)
+                if self.mesh is not None
+                else jax.local_devices()  # per-process sharding (see above)
+            )
+            n = len(devs)
+            assert n % self.store_shards == 0, (
+                f"store_shards={self.store_shards} must divide the "
+                f"device count {n}"
+            )
+            self.mesh = make_dp_tv_mesh(n // self.store_shards, self.store_shards, devs)
+            from gigapose_tpu.parallel.mesh import replicate
+
+            self.store = shard_template_store(self.store, self.mesh)
+            self.estimator.ae_params = replicate(self.estimator.ae_params, self.mesh)
+            self.estimator.ist_vars = replicate(self.estimator.ist_vars, self.mesh)
+        elif self.mesh is not None:
             from gigapose_tpu.parallel.mesh import replicate
 
             self.store = replicate(self.store, self.mesh)
             self.estimator.ae_params = replicate(self.estimator.ae_params, self.mesh)
             self.estimator.ist_vars = replicate(self.estimator.ist_vars, self.mesh)
+
+    @property
+    def _dp_size(self) -> int:
+        """Batch-axis device count of the runner's mesh (padding granularity)."""
+        if self.mesh is None:
+            return 1
+        return dict(self.mesh.shape).get("dp", len(self.mesh.devices.flat))
+
+    def _forward(self, batch: DetectionBatch):
+        """Dispatch to the replicated-store estimator or the view-sharded
+        pipeline (identical outputs; see parallel/sharded_store)."""
+        if self.store_shards > 1:
+            return self._sharded_jit(
+                self.estimator.ae_params, self.estimator.ist_vars,
+                self.store, batch,
+            )
+        return self.estimator(self.store, batch)
+
+    @property
+    def _sharded_jit(self):
+        fn = getattr(self, "_sharded_jit_cache", None)
+        if fn is None:
+            import functools
+
+            from gigapose_tpu.parallel.sharded_store import coarse_forward_sharded
+
+            fn = jax.jit(
+                functools.partial(
+                    coarse_forward_sharded,
+                    self.estimator.ae_net,
+                    self.estimator.ist_net,
+                    mesh=self.mesh,
+                    cfg=self.estimator.config,
+                )
+            )
+            object.__setattr__(self, "_sharded_jit_cache", fn)
+        return fn
 
     @classmethod
     def onboard(
@@ -169,7 +235,7 @@ class CoarseRunner:
         if self.mesh is not None:
             from gigapose_tpu.parallel.mesh import pad_to_multiple
 
-            Np = pad_to_multiple(Np, len(self.mesh.devices.flat))
+            Np = pad_to_multiple(Np, self._dp_size)
         H, W = image.rgb.shape[:2]
         rgb = jnp.asarray(image.rgb, jnp.float32) / 255.0  # (H, W, 3)
         masks = jnp.asarray(image.masks, jnp.float32)  # (N, H, W)
@@ -262,7 +328,7 @@ class CoarseRunner:
                     from gigapose_tpu.parallel.mesh import shard_batch
 
                     batch = shard_batch(batch, self.mesh)
-                pred = self.estimator(self.store, batch)
+                pred = self._forward(batch)
                 poses_list.append(np.asarray(pred.poses, np.float64)[: len(sel)])
                 scores_list.append(np.asarray(pred.scores, np.float64)[: len(sel)])
                 last_pred = pred

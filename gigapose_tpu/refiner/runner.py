@@ -71,9 +71,19 @@ def run_refinement(
 
     pred_dir = osp.join(save_dir, "predictions_refined")
     os.makedirs(pred_dir, exist_ok=True)
-    for f in os.listdir(pred_dir):
-        if f.endswith(".npz"):
-            os.remove(osp.join(pred_dir, f))
+    # multi-process refinement mirrors the coarse runner (and the reference's
+    # PL-DDP trainer.test in refine.py): images split round-robin across
+    # processes, shared-filesystem npz batches, rank-0 clean + merge
+    from gigapose_tpu.parallel import multihost
+
+    if multihost.is_primary():
+        for f in os.listdir(pred_dir):
+            if f.endswith(".npz"):
+                os.remove(osp.join(pred_dir, f))
+    multihost.barrier("refine-clean")
+    import jax
+
+    proc_id, n_proc = jax.process_index(), jax.process_count()
 
     def _iter_obs():
         """Random access via key_to_shard.json when the source supports it —
@@ -96,14 +106,19 @@ def run_refinement(
         yield from scene_source
 
     timer = Timer()
-    n_img = 0
+    n_img = 0  # images THIS process refined
+    n_seen = 0  # row-bearing images seen — identical on every process, so
+    # max_images caps the TOTAL image count (like the coarse runner)
     for batch_id, obs in enumerate(_iter_obs()):
         key = obs.key
         rows = locs_per_image.get(key, [])
         if not rows:
             continue
-        if max_images is not None and n_img >= max_images:
+        if max_images is not None and n_seen >= max_images:
             break
+        n_seen += 1
+        if batch_id % n_proc != proc_id:
+            continue
         n_img += 1
         timer.tic()
         img = obs.rgb.astype(np.float32).transpose(2, 0, 1)[None] / 255.0
@@ -150,6 +165,10 @@ def run_refinement(
             refinement_time=np.full(len(sel), elapsed),
         )
     logger.info(f"Refined {n_img} images")
+    # all processes' npz files must exist before the rank-0 merge
+    multihost.barrier("refine-merge")
+    if not multihost.is_primary():
+        return []
     return bop_io.merge_batched_predictions(
         pred_dir, dataset_name, model_name, run_id, is_refined=True
     )
@@ -180,18 +199,29 @@ def run_so3_coarse_refinement(
 
     pred_dir = osp.join(save_dir, "predictions_refined")
     os.makedirs(pred_dir, exist_ok=True)
-    for f in os.listdir(pred_dir):
-        if f.endswith(".npz"):
-            os.remove(osp.join(pred_dir, f))
+    from gigapose_tpu.parallel import multihost
+
+    if multihost.is_primary():
+        for f in os.listdir(pred_dir):
+            if f.endswith(".npz"):
+                os.remove(osp.join(pred_dir, f))
+    multihost.barrier("so3-clean")
+    import jax
+
+    proc_id, n_proc = jax.process_index(), jax.process_count()
 
     timer = Timer()
     n_img = 0
+    n_seen = 0
     for batch_id, obs in enumerate(scene_source):
         dets = dets_per_image.get(obs.key, [])
         if not dets:
             continue
-        if max_images is not None and n_img >= max_images:
+        if max_images is not None and n_seen >= max_images:
             break
+        n_seen += 1
+        if batch_id % n_proc != proc_id:
+            continue
         n_img += 1
         dets = sorted(dets, key=lambda d: -d.get("score", 0.0))
         dets = dets[:max_dets_per_image]
@@ -236,6 +266,9 @@ def run_so3_coarse_refinement(
     logger.info(
         f"SO(3)-grid ({grid_size}) classified + refined {n_img} images"
     )
+    multihost.barrier("so3-merge")
+    if not multihost.is_primary():
+        return []
     return bop_io.merge_batched_predictions(
         pred_dir, dataset_name, model_name, run_id, is_refined=True
     )

@@ -15,6 +15,14 @@ import sys
 
 
 def main(argv=None):
+    # multi-process refinement (the reference runs refine.py under PL-DDP,
+    # trainer.test splitting images over ranks): env-driven
+    # jax.distributed.initialize, images split round-robin in run_refinement,
+    # rank-0 csv merge. No-op without GIGAPOSE_COORDINATOR/_DISTRIBUTED.
+    from gigapose_tpu.parallel.multihost import maybe_initialize
+
+    maybe_initialize()
+
     from gigapose_tpu.dataloader.scene import DirSceneSource, TarSceneSource
     from gigapose_tpu.refiner.refiner import RefinerConfig, RenderCompareRefiner
     from gigapose_tpu.refiner.runner import find_init_pose_path, run_refinement
@@ -127,7 +135,8 @@ def main(argv=None):
             max_images=cfg.get("max_images"),
             min_score=cfg["min_score"] if "min_score" in cfg else 0.25,
         )
-    print("Wrote:", *paths, sep="\n  ")
+    if paths:  # rank-0 only in multi-process runs (runner merges there)
+        print("Wrote:", *paths, sep="\n  ")
 
 
 if __name__ == "__main__":

@@ -219,6 +219,7 @@ def main(argv=None):
         scale_factor=cfg.data.template.scale_factor if cfg.get("data") else 1.0,
         max_dets_per_forward=cfg.get("max_num_dets_per_forward"),
         mesh=mesh,
+        store_shards=int(cfg.get("store_shards") or 1),
         feature_dtype=(
             jnp.bfloat16 if str(cfg.model.get("feature_dtype", "")) == "bf16"
             else None

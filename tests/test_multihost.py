@@ -222,3 +222,75 @@ def test_multihost_train_fit(tmp_path):
     step_dirs = [d for d in os.listdir(tmp_path / "ckpt") if d.startswith("step_")]
     assert step_dirs == ["step_00000002"], step_dirs
     assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+def test_refinement_round_robin_split(tmp_path, monkeypatch):
+    """run_refinement under a (simulated) 2-process world: disjoint image
+    assignment, non-primary skips clean+merge, union of npz batches covers
+    every image — the refine.py counterpart of the reference's PL-DDP image
+    split in trainer.test (refine.py + src/models/refiner.py:155)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from gigapose_tpu.dataloader import bop_io
+    from gigapose_tpu.dataloader.scene import SceneObservation
+    from gigapose_tpu.parallel import multihost
+    from gigapose_tpu.refiner import runner as rrunner
+
+    rows = [
+        dict(scene_id=1, im_id=im, obj_id=1, score=0.9, R=np.eye(3),
+             t=np.array([0.0, 0.0, 400.0]), time=0.1, instance_id=0)
+        for im in range(4)
+    ]
+    init_csv = str(tmp_path / "init.csv")
+    bop_io.save_bop_csv(init_csv, rows, extra_column="instance_id")
+
+    def obs(im):
+        return SceneObservation(
+            scene_id=1, im_id=im, rgb=np.zeros((8, 8, 3), np.uint8),
+            depth=None, K=np.eye(3), object_ids=[1],
+            poses=np.eye(4)[None], bboxes_xywh=np.zeros((1, 4)),
+            masks=None, visib_fract=np.ones(1),
+        )
+
+    class StubRefiner:
+        def refine_batch(self, images, K, labels, TCO):
+            return TCO, np.ones(len(TCO), np.float32)
+
+    # simulate the 2-process world in-process: identity via the jax python
+    # attrs every helper reads; barrier is a no-op (sequential simulation)
+    monkeypatch.setattr(multihost, "barrier", lambda name="": None)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    save_dir = str(tmp_path)
+
+    # process 0 of 2: cleans, refines images 0 and 2, merges its shard
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    paths0 = rrunner.run_refinement(
+        StubRefiner(), [obs(i) for i in range(4)], init_csv, save_dir,
+        "tudl", run_id="mp",
+    )
+    pred_dir = tmp_path / "predictions_refined"
+    assert {f for f in os.listdir(pred_dir) if f.endswith(".npz")} == {
+        "000000.npz", "000002.npz"
+    }
+    assert paths0  # primary merges
+
+    # process 1 of 2: no clean (peer files survive), refines 1 and 3, no merge
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    paths1 = rrunner.run_refinement(
+        StubRefiner(), [obs(i) for i in range(4)], init_csv, save_dir,
+        "tudl", run_id="mp",
+    )
+    assert paths1 == []
+    assert {f for f in os.listdir(pred_dir) if f.endswith(".npz")} == {
+        "000000.npz", "000001.npz", "000002.npz", "000003.npz"
+    }
+
+    # what rank 0 produces after the real barrier: all 4 images in one csv
+    merged = bop_io.merge_batched_predictions(
+        str(pred_dir), "tudl", "large", "mp", is_refined=True
+    )
+    got = bop_io.load_bop_csv(merged[0])
+    assert sorted(int(r["im_id"]) for r in got) == [0, 1, 2, 3]

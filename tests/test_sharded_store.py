@@ -5,6 +5,7 @@ mesh, for pure-tv and mixed dp x tv meshes, including score ties (duplicated
 view) and non-divisible V (zero-padded views must never win)."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -173,3 +174,67 @@ def test_per_shard_memory_drops():
     assert all(sh == (2, 2, 16, 24) for sh in shard_shapes), shard_shapes
     # metadata stays replicated at real V
     assert store_s.poses.shape[1] == 16
+
+
+def test_sharded_pallas_matches_sharded_xla():
+    """The fused Pallas matcher routed per-shard (interpret mode off-TPU)
+    must agree with the XLA matcher inside the same shard_map."""
+    cfg_x = EstimatorConfig(k=2, num_patches=4, use_pallas_matching=False)
+    cfg_p = EstimatorConfig(k=2, num_patches=4, use_pallas_matching=True)
+    store, tar, tar_masks, labels = _random_store_and_queries(V=16, seed=5)
+    # pallas contract: pre-L2-normalized features
+    tar = tar / np.linalg.norm(np.asarray(tar), axis=-1, keepdims=True).clip(1e-8)
+    ae = np.asarray(store.ae_features)
+    ae = ae / np.linalg.norm(ae, axis=-1, keepdims=True).clip(1e-8)
+    store = dataclasses.replace(store, ae_features=jnp.asarray(ae))
+    tar = jnp.asarray(tar)
+
+    mesh = make_dp_tv_mesh(1, 4)
+    store_s = shard_template_store(store, mesh)
+    got_x, ist_x = jax.jit(
+        lambda t, m, l, s: sharded_match_and_gather(t, m, l, s, mesh, cfg_x)
+    )(tar, tar_masks, labels, store_s)
+    got_p, ist_p = jax.jit(
+        lambda t, m, l, s: sharded_match_and_gather(t, m, l, s, mesh, cfg_p)
+    )(tar, tar_masks, labels, store_s)
+    np.testing.assert_array_equal(np.asarray(got_p.ids), np.asarray(got_x.ids))
+    np.testing.assert_array_equal(np.asarray(got_p.valid), np.asarray(got_x.valid))
+    np.testing.assert_array_equal(
+        np.asarray(got_p.src_pts), np.asarray(got_x.src_pts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_p.scores), np.asarray(got_x.scores), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(np.asarray(ist_p), np.asarray(ist_x))
+
+
+def test_cli_store_shards_end_to_end(tmp_path, monkeypatch):
+    """python test.py store_shards=4: the serving CLI over a (dp=2, tv=4)
+    virtual mesh produces a valid BOP csv (full onboarding -> sharded store
+    -> sharded coarse forward -> filtering -> merge)."""
+    from tests import synthetic_bop
+
+    root = synthetic_bop.build(str(tmp_path))
+    monkeypatch.setenv("GIGAPOSE_TINY", "1")
+
+    import test as test_cli
+
+    test_cli.main(
+        [
+            f"machine.root_dir={root}",
+            "test_dataset_name=tudl",
+            "run_id=shards",
+            "data.template.num_templates=8",
+            "store_shards=4",
+            "model.testing_metric.k=2",  # per-shard views (8/4=2) must be >= k
+        ]
+    )
+    from gigapose_tpu.dataloader import bop_io
+
+    pred_dir = os.path.join(root, "results", "large_shards", "predictions")
+    top1 = bop_io.load_bop_csv(
+        os.path.join(pred_dir, "large-pbrreal-rgb-mmodel_tudl-test_shards.csv")
+    )
+    assert len(top1) == 2 and sorted(r["obj_id"] for r in top1) == [1, 2]
+    for row in top1:
+        assert np.isfinite(row["R"]).all() and np.isfinite(row["t"]).all()
