@@ -98,7 +98,12 @@ def shard_template_store(
             return a
         widths = [(0, 0)] * a.ndim
         widths[1] = (0, pad)
-        return jnp.pad(a, widths)
+        # numpy-backed stores (onboard_templates(to_host=True)) pad on host:
+        # device_put below then streams each chip's shard straight from the
+        # host buffer, so the full store never resides on any single chip
+        return (
+            np.pad(a, widths) if isinstance(a, np.ndarray) else jnp.pad(a, widths)
+        )
 
     vsharded = NamedSharding(mesh, P(None, view_axis))
     repl = NamedSharding(mesh, P())
@@ -268,7 +273,12 @@ def coarse_forward_sharded(
     outputs to `pipeline.estimator.coarse_forward` (tested bitwise on ids /
     correspondences), with per-chip store memory and matching FLOPs divided
     by the "tv" shard count. The feature extractors and the finish tail run
-    under plain GSPMD with the batch on "dp"."""
+    under plain GSPMD with the batch on "dp".
+
+    Caveat (untestable on this single-chip box): the int8 AE's pallas_call
+    under dp > 1 relies on GSPMD's pallas partitioning of the batch axis; if
+    a target refuses it, wrap the AE forward in a dp shard_map the way the
+    matcher is — the kernels are batch-elementwise."""
     tar_ae = ae_net.apply(ae_params, batch.crops)
     tar_ist = ist_net.apply(ist_vars, batch.crops, method=ist_net.features)
     match, src_ist = sharded_match_and_gather(

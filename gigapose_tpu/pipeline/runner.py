@@ -174,7 +174,11 @@ class CoarseRunner:
             multihost.barrier("onboard-cache")
         if cache_path and osp.exists(cache_path):
             data = np.load(cache_path)
-            fields = {k: jnp.asarray(data[k]) for k in data.files}
+            # store_shards > 1: stay host-backed so __post_init__'s sharded
+            # device_put streams each chip's shard from the host buffer
+            # instead of landing the full store on one chip first
+            xp = np if int(kwargs.get("store_shards") or 1) > 1 else jnp
+            fields = {k: xp.asarray(data[k]) for k in data.files}
             if feature_dtype is not None:
                 fields["ae_features"] = fields["ae_features"].astype(feature_dtype)
                 fields["ist_features"] = fields["ist_features"].astype(feature_dtype)
@@ -197,6 +201,9 @@ class CoarseRunner:
         store = onboard_templates(
             estimator.ae_apply, estimator.ist_apply, rgbas, poses,
             feature_dtype=feature_dtype or jnp.float32,
+            # view sharding: stream features to host per object so the full
+            # store never materializes on one chip (peak = one object)
+            to_host=int(kwargs.get("store_shards") or 1) > 1,
         )
         dt = timer.toc(block_on=store.ae_features)
         logger.info(

@@ -182,6 +182,7 @@ def onboard_templates(
     poses_per_object,  # iterable of (V, 4, 4) arrays
     Ks_per_object=None,
     overlap_uploads: Optional[bool] = None,
+    to_host: bool = False,
     **kwargs,
 ) -> TemplateStore:
     """Onboard a dataset's objects into a stacked TemplateStore.
@@ -193,7 +194,14 @@ def onboard_templates(
     compute. Default is auto: ON for a local TPU host, OFF on the axon
     relay, which serializes transfers with compute — measured A/B on v5e
     through the relay: inline 1.148 s/object vs staged 1.328 (ROUND_NOTES
-    r3), so early staging only adds queueing there."""
+    r3), so early staging only adds queueing there.
+
+    to_host=True streams each object's features to host RAM as it completes,
+    returning a numpy-backed store: peak device memory stays at ONE object
+    regardless of the object count. This is how a store destined for view
+    sharding (parallel/sharded_store) must be built — stacking on device
+    first would OOM exactly the stores sharding exists for; device_put then
+    streams each chip's shard straight from the host buffer."""
     if overlap_uploads is None:
         import os as _os
 
@@ -206,11 +214,19 @@ def onboard_templates(
         if overlap_uploads and i + 1 < len(pairs):
             staged = stage_object(pairs[i + 1][0])  # upload overlaps compute
         K = None if Ks_per_object is None else Ks_per_object[i]
-        entries.append(
-            onboard_object(ae_apply, ist_apply, rgbas, poses, K,
-                           staged=current, **kwargs)
-        )
-    stack = lambda name: jnp.stack([e[name] for e in entries])
+        entry = onboard_object(ae_apply, ist_apply, rgbas, poses, K,
+                               staged=current, **kwargs)
+        if to_host:
+            # stream to host + drop the crop byproducts: device buffers free
+            # as we go, so peak device residency is ONE object's onboarding
+            entry = {
+                k: np.asarray(entry[k])
+                for k in ("ae_features", "ist_features", "masks", "Ms",
+                          "poses", "K")
+            }
+        entries.append(entry)
+    xp = np if to_host else jnp
+    stack = lambda name: xp.stack([e[name] for e in entries])
     return TemplateStore(
         ae_features=stack("ae_features"),
         ist_features=stack("ist_features"),

@@ -238,3 +238,54 @@ def test_cli_store_shards_end_to_end(tmp_path, monkeypatch):
     assert len(top1) == 2 and sorted(r["obj_id"] for r in top1) == [1, 2]
     for row in top1:
         assert np.isfinite(row["R"]).all() and np.isfinite(row["t"]).all()
+
+
+def test_host_backed_store_shards_identically():
+    """shard_template_store accepts a numpy-backed store (the to_host
+    onboarding output) and produces the same sharded results — host padding
+    + direct host->shard device_put, no full-store device residency."""
+    cfg = EstimatorConfig(k=2, num_patches=4)
+    store, tar, tar_masks, labels = _random_store_and_queries(V=12, seed=7)
+    host_store = TemplateStore(
+        **{
+            f.name: np.asarray(getattr(store, f.name))
+            for f in dataclasses.fields(TemplateStore)
+        }
+    )
+    mesh = make_dp_tv_mesh(1, 4)
+    fn = jax.jit(
+        lambda t, m, l, s: sharded_match_and_gather(t, m, l, s, mesh, cfg)
+    )
+    got_d, ist_d = fn(tar, tar_masks, labels, shard_template_store(store, mesh))
+    got_h, ist_h = fn(
+        tar, tar_masks, labels, shard_template_store(host_store, mesh)
+    )
+    np.testing.assert_array_equal(np.asarray(got_h.ids), np.asarray(got_d.ids))
+    np.testing.assert_array_equal(np.asarray(ist_h), np.asarray(ist_d))
+
+
+def test_onboard_to_host_then_shard():
+    """onboard_templates(to_host=True) returns a numpy-backed store (peak
+    device residency = one object) that shards and retrieves correctly."""
+    from gigapose_tpu.pipeline.templates import onboard_templates
+
+    est = tiny_estimator()
+    rng = np.random.default_rng(11)
+    rgbas = [rng.uniform(size=(6, 4, 56, 56)).astype(np.float32) for _ in range(2)]
+    poses = [np.tile(np.eye(4, dtype=np.float32), (6, 1, 1)) for _ in range(2)]
+    store = onboard_templates(
+        est.ae_apply, est.ist_apply, rgbas, poses,
+        target_size=56, num_patches=4, to_host=True,
+    )
+    assert isinstance(store.ae_features, np.ndarray)
+    assert isinstance(store.masks, np.ndarray)
+
+    mesh = make_dp_tv_mesh(2, 4)
+    store_s = shard_template_store(store, mesh)
+    tar = jnp.asarray(store.ae_features[[0, 1], 3])  # query = view 3 exactly
+    got, _ = jax.jit(
+        lambda t, m, l, s: sharded_match_and_gather(
+            t, m, l, s, mesh, EstimatorConfig(k=2, num_patches=4)
+        )
+    )(tar, jnp.ones((2, 16)), jnp.asarray([0, 1], jnp.int32), store_s)
+    assert np.all(np.asarray(got.ids[:, 0]) == 3)
