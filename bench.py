@@ -255,29 +255,62 @@ def bench_train(model: str):
     )
 
 
+def _write_sphere_ply(path: str, radius_m: float, levels: int):
+    """Subdivided-icosahedron PLY at a BOP-realistic face count
+    (levels=5 -> 20480 faces / 10242 verts), so the refine A/B charges the
+    device rasterizer its honest per-face cost (a 12-face cube would not)."""
+    from gigapose_tpu.lib3d.icosphere import (
+        _BLENDER_ICOFACE, _BLENDER_ICOVERT, _subdivide_f32)
+
+    verts = [(v / 200.0).astype(np.float32) for v in _BLENDER_ICOVERT]
+    faces = list(_BLENDER_ICOFACE)
+    for _ in range(levels):
+        verts, faces = _subdivide_f32(verts, faces, spherize=True)
+        verts = list(verts)
+    V = np.stack(verts) * radius_m
+    F = np.asarray(faces, np.int32)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n"
+                f"element vertex {len(V)}\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+                f"element face {len(F)}\n"
+                "property list uchar int vertex_indices\nend_header\n")
+        for v in V:
+            # position-dependent albedo so renders carry texture signal
+            c = (np.abs(v / radius_m) * 155 + 100).astype(int)
+            f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]} {c[1]} {c[2]}\n")
+        for a, b, c in F:
+            f.write(f"3 {a} {b} {c}\n")
+
+
 def bench_refine():
     """Render-and-compare refinement throughput (the reference's 5-iteration
-    MegaPose refiner path, pose_estimator.py:102-216): host C++ raster +
-    jitted crop/update/score device steps, measured end-to-end as refined
-    crops/s. The reference commits no number for this stage (BASELINE.md),
-    so vs_baseline is 0.0."""
+    MegaPose refiner path, pose_estimator.py:102-216), measured end-to-end as
+    refined crops/s. A/Bs the three backends (VERDICT r4 next-round #1):
+      host      — C++ raster + per-iteration device round trips (the
+                  reference's structure),
+      pipelined — host raster of chunk i+1 overlapped with chunk i's device
+                  steps (the reference's worker-pool pipelining),
+      device    — the whole loop ONE jitted XLA program with on-TPU raster
+                  (refiner/device_render.py), zero host round trips.
+    Emits the winner; GIGAPOSE_BENCH_REFINE_BACKEND pins one. The reference
+    commits no number for this stage (BASELINE.md), so vs_baseline is 0.0."""
     import tempfile
 
-    import jax
-
-    from tests.test_rasterizer import _write_cube_ply
     from gigapose_tpu.refiner.refiner import RefinerConfig, RenderCompareRefiner
 
     B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", "16"))
     iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "3"))
-    cfg = RefinerConfig()  # shipping defaults: 5 iterations, 160x160 crops
+    levels = int(os.environ.get("GIGAPOSE_BENCH_MESH_LEVELS", "5"))
+    only = os.environ.get("GIGAPOSE_BENCH_REFINE_BACKEND")  # host|pipelined|device
     with tempfile.TemporaryDirectory() as td:
         meshes = {}
-        for label, size in [(1, 0.08), (2, 0.1)]:
+        for label, radius in [(1, 0.04), (2, 0.05)]:
             path = os.path.join(td, f"obj_{label}.ply")
-            _write_cube_ply(path, size=size)
+            _write_sphere_ply(path, radius_m=radius, levels=levels)
             meshes[label] = path
-        ref = RenderCompareRefiner.create(meshes, config=cfg)
+        base = RenderCompareRefiner.create(meshes, config=RefinerConfig())
         K = np.array([[572.4114, 0, 320], [0, 573.57043, 240], [0, 0, 1.0]],
                      np.float32)
         rng = np.random.default_rng(0)
@@ -287,7 +320,7 @@ def bench_refine():
             gt = np.eye(4, dtype=np.float32)
             gt[:3, 3] = [rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05),
                          rng.uniform(0.45, 0.6)]
-            rgba, _ = ref.meshes.rasterizers[int(labels[i])].render(
+            rgba, _ = base.meshes.rasterizers[int(labels[i])].render(
                 K, gt, 640, 480
             )
             imgs.append(rgba[..., :3].transpose(2, 0, 1).astype(np.float32) / 255.0)
@@ -297,23 +330,50 @@ def bench_refine():
         inits = np.stack(gts)
         inits[:, :3, 3] += rng.uniform(-0.02, 0.02, (B, 3)).astype(np.float32)
 
-        out, scores = ref.refine_batch(images, Ks, labels, inits)  # compile
-        assert np.isfinite(out).all()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out, scores = ref.refine_batch(images, Ks, labels, inits)
-        _ = float(scores[0])  # refine_batch returns host arrays (fenced)
-        dt = time.perf_counter() - t0
-        crops_per_sec = B * iters / dt
+        backends = {
+            "host": RefinerConfig(),
+            "pipelined": RefinerConfig(pipeline_chunks=2),
+            "device": RefinerConfig(renderer="device"),
+        }
+        if only:
+            backends = {only: backends[only]}
+        results = {}
+        for name, cfg in backends.items():
+            ref = RenderCompareRefiner(
+                base.refiner_net, base.refiner_vars, base.scorer_net,
+                base.scorer_vars, base.meshes, cfg,
+            )
+            t_c0 = time.perf_counter()
+            out, scores = ref.refine_batch(images, Ks, labels, inits)  # compile
+            compile_s = time.perf_counter() - t_c0
+            assert np.isfinite(out).all()
+            if name == "host":
+                ref.timing = {}  # host-render vs device-step split
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out, scores = ref.refine_batch(images, Ks, labels, inits)
+            _ = float(scores[0])  # refine_batch returns host arrays (fenced)
+            dt = time.perf_counter() - t0
+            results[name] = B * iters / dt
+            extra = ""
+            if ref.timing:
+                split = {k: round(v / iters * 1e3, 1)
+                         for k, v in ref.timing.items()}
+                extra = f" | phase split (ms/call): {split}"
+            print(f"[refine] {name}: {results[name]:.2f} crops/s "
+                  f"({dt / iters * 1e3:.1f} ms/call, compile {compile_s:.1f} s)"
+                  f"{extra}", file=sys.stderr, flush=True)
+        winner = max(results, key=results.get)
+    n_it = RefinerConfig().n_iterations
     print(
         json.dumps(
             {
                 "metric": (
-                    f"refiner crops/sec (render-and-compare, "
-                    f"{cfg.n_iterations} iterations, B={B}) "
+                    f"refiner crops/sec (render-and-compare, {n_it} "
+                    f"iterations, B={B}, backend={winner}) "
                     "[no published reference number]"
                 ),
-                "value": round(crops_per_sec, 2),
+                "value": round(results[winner], 2),
                 "unit": "crops/s",
                 "vs_baseline": 0.0,
             }

@@ -87,6 +87,12 @@ def main(argv=None):
             n_iterations=int(cfg.get("n_refine_iterations") or 5),
             render_size=(64, 64) if tiny else (160, 160),
             n_sample_points=8 if tiny else 500,
+            # renderer=device: rasterize on-TPU inside one jitted loop (no
+            # per-iteration host round trips); renderer=host reproduces the
+            # reference's CPU-render structure, with optional chunk-level
+            # render/compute overlap via refine_pipeline_chunks
+            renderer=str(cfg.get("refine_renderer") or "host"),
+            pipeline_chunks=int(cfg.get("refine_pipeline_chunks") or 1),
         )
         refiner = RenderCompareRefiner.create(
             mesh_paths, config=rcfg,

