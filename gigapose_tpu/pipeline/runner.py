@@ -165,13 +165,18 @@ class CoarseRunner:
         cache_path = (
             osp.join(template_dir, f"onboarded_{cache_tag}.npz") if cache_tag else None
         )
-        # multi-process + shared-fs cache: rank 0 builds/validates the cache,
-        # everyone else waits here and then loads it (no concurrent savez)
+        # multi-process + shared-fs cache: every process onboards a DISJOINT
+        # slice of the objects and writes per-object part files, rank 0
+        # merges the union into the cache npz — P-way onboarding speedup
+        # instead of (P-1)/P hosts idling behind rank 0
         from gigapose_tpu.parallel import multihost
 
         coordinate = cache_path is not None and jax.process_count() > 1
-        if coordinate and not multihost.is_primary():
-            multihost.barrier("onboard-cache")
+        if coordinate and not osp.exists(cache_path):
+            cls._onboard_distributed(
+                estimator, template_dir, cache_path,
+                num_templates=num_templates, scale_factor=scale_factor,
+            )
         if cache_path and osp.exists(cache_path):
             data = np.load(cache_path)
             # store_shards > 1: stay host-backed so __post_init__'s sharded
@@ -184,8 +189,6 @@ class CoarseRunner:
                 fields["ist_features"] = fields["ist_features"].astype(feature_dtype)
             store = TemplateStore(**fields)
             logger.info(f"Loaded onboarded store from {cache_path}")
-            if coordinate and multihost.is_primary():
-                multihost.barrier("onboard-cache")  # release the waiters
             return cls(estimator=estimator, store=store, save_dir=save_dir,
                        dataset_name=dataset_name, template_dir=template_dir,
                        **kwargs)
@@ -220,10 +223,68 @@ class CoarseRunner:
                    for f in dataclasses.fields(store)},
             )
             logger.info(f"Saved onboarded store to {cache_path}")
-        if coordinate and multihost.is_primary():
-            multihost.barrier("onboard-cache")  # cache on disk; release waiters
         return cls(estimator=estimator, store=store, save_dir=save_dir,
                    dataset_name=dataset_name, template_dir=template_dir, **kwargs)
+
+    @classmethod
+    def _onboard_distributed(
+        cls,
+        estimator: GigaPoseEstimator,
+        template_dir: str,
+        cache_path: str,
+        num_templates: Optional[int] = None,
+        scale_factor: float = 1.0,
+    ) -> None:
+        """Multi-process onboarding: round-robin object split across processes
+        (multihost.split_work), per-object part npz written by DISJOINT
+        writers on the shared fs, rank-0 merge into the single cache npz that
+        every process then loads. P-way parallel where the r4 protocol left
+        (P-1)/P hosts idle behind rank 0; the reference instead re-onboards
+        everything redundantly per DDP rank (set_template_data,
+        gigaPose.py:357-398). Features persist as f32 (npz has no bf16); the
+        cache-load path re-casts to the requested serving feature_dtype."""
+        from gigapose_tpu.parallel import multihost
+
+        obj_ids = list_objects(template_dir)
+        mine = multihost.split_work(obj_ids)
+        parts_dir = cache_path + ".parts"
+        os.makedirs(parts_dir, exist_ok=True)
+        if mine:
+            rgbas, poses = [], []
+            for obj_id in mine:
+                data = load_object_templates(
+                    template_dir, obj_id, num_templates, scale_factor,
+                    as_uint8=True,
+                )
+                rgbas.append(data["rgba"])
+                poses.append(data["poses"])
+            store = onboard_templates(
+                estimator.ae_apply, estimator.ist_apply, rgbas, poses,
+                to_host=True,  # parts are written from host RAM anyway
+            )
+            for j, obj_id in enumerate(mine):
+                np.savez(
+                    osp.join(parts_dir, f"obj_{obj_id:06d}.npz"),
+                    **{f.name: np.asarray(getattr(store, f.name)[j], np.float32)
+                       if "features" in f.name
+                       else np.asarray(getattr(store, f.name)[j])
+                       for f in dataclasses.fields(store)},
+                )
+        multihost.barrier("onboard-parts")
+        if multihost.is_primary():
+            fields: Dict[str, list] = {}
+            for obj_id in obj_ids:
+                with np.load(osp.join(parts_dir, f"obj_{obj_id:06d}.npz")) as part:
+                    for k in part.files:
+                        fields.setdefault(k, []).append(part[k])
+            np.savez(cache_path, **{k: np.stack(v) for k, v in fields.items()})
+            import shutil
+
+            shutil.rmtree(parts_dir, ignore_errors=True)
+            logger.info(
+                f"Merged {len(obj_ids)} distributed-onboarded objects -> {cache_path}"
+            )
+        multihost.barrier("onboard-merge")
 
     def prepare_batch(self, image: ImageDetections, sel=None) -> DetectionBatch:
         """Host decode -> device crop/normalize, padded to a shape bucket.

@@ -16,6 +16,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 einsum = partial(jnp.einsum, precision="highest")
@@ -101,6 +102,23 @@ def get_K_crop_resize(
     return out
 
 
+def _hat_weights(g: jnp.ndarray, size: int, r: int) -> jnp.ndarray:
+    """(B, n*r) sub-sample coords -> (B, n, size) averaged bilinear weights.
+
+    Bilinear sampling at coordinate g is the hat kernel max(0, 1-|h-(g-0.5)|)
+    over pixel indices h — including the border/out-of-image semantics
+    (indices outside [0, size) simply don't exist, so their mass drops,
+    matching roi_align's zero-padding)."""
+    Bn = g.shape[0]
+    n = g.shape[1] // r
+    h = jnp.arange(size, dtype=g.dtype)
+    w = jnp.zeros((Bn, n, size), g.dtype)
+    for p in range(r):  # r is 1 or 4: tiny unrolled accumulation
+        c = g[:, p::r, None] - 0.5
+        w = w + jnp.maximum(0.0, 1.0 - jnp.abs(h[None, None, :] - c))
+    return w / r
+
+
 def crop_images_to_boxes(
     images: jnp.ndarray,
     boxes: jnp.ndarray,
@@ -110,7 +128,17 @@ def crop_images_to_boxes(
     """(B, C, H, W) crop-resize to output_size from xyxy boxes, roi_align
     style (the reference crops with torchvision roi_align at sampling_ratio=4,
     cropping.py:132-165): each output bin averages sampling_ratio^2 bilinear
-    samples on a regular sub-grid; out-of-image samples read 0."""
+    samples on a regular sub-grid; out-of-image samples read 0.
+
+    TPU-native formulation: bilinear resampling is LINEAR and the sample
+    grid is separable, so the whole op is two batched matmuls with per-box
+    hat-kernel weight matrices — out = Wy @ img @ Wx^T — instead of
+    oh*ow*r^2 dynamic gathers (4 take_along_axis of (B, C, oh*r*ow*r) in the
+    naive form, measured as the refine-loop wall on the TPU relay: ~940 ms
+    per iteration at B=16 in 480x640 frames). Weight construction is
+    O(B*(oh*H + ow*W)) elementwise; the matmuls run on the MXU in f32
+    (precision=highest — bf16 would quantize the crops below the input's
+    own u8 resolution)."""
     B, C, H, W = images.shape
     oh, ow = output_size
     r = sampling_ratio
@@ -123,39 +151,11 @@ def crop_images_to_boxes(
 
     gx = grid(boxes[:, 0], boxes[:, 2], ow)  # (B, ow*r)
     gy = grid(boxes[:, 1], boxes[:, 3], oh)  # (B, oh*r)
-    x0 = jnp.floor(gx - 0.5)
-    y0 = jnp.floor(gy - 0.5)
-    wx = (gx - 0.5) - x0
-    wy = (gy - 0.5) - y0
-
-    def take(yi, xi):
-        yi_c = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
-        xi_c = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
-        inb = ((yi >= 0) & (yi < H))[:, None, :, None] * (
-            (xi >= 0) & (xi < W)
-        )[:, None, None, :]
-        flat = images.reshape(B, C, H * W)
-        idx = (yi_c[:, :, None] * W + xi_c[:, None, :]).reshape(B, 1, -1)
-        vals = jnp.take_along_axis(
-            flat, jnp.broadcast_to(idx, (B, C, idx.shape[-1])), axis=2
-        ).reshape(B, C, oh * r, ow * r)
-        return vals * inb
-
-    v00 = take(y0, x0)
-    v01 = take(y0, x0 + 1)
-    v10 = take(y0 + 1, x0)
-    v11 = take(y0 + 1, x0 + 1)
-    wy_ = wy[:, None, :, None]
-    wx_ = wx[:, None, None, :]
-    out = (
-        v00 * (1 - wy_) * (1 - wx_)
-        + v01 * (1 - wy_) * wx_
-        + v10 * wy_ * (1 - wx_)
-        + v11 * wy_ * wx_
-    )
-    if r > 1:
-        out = out.reshape(B, C, oh, r, ow, r).mean(axis=(3, 5))
-    return out
+    Wy = _hat_weights(gy, H, r)  # (B, oh, H)
+    Wx = _hat_weights(gx, W, r)  # (B, ow, W)
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jnp.einsum("bih,bchw->bciw", Wy, images, precision=hi)
+    return jnp.einsum("bciw,bjw->bcij", tmp, Wx, precision=hi)
 
 
 def rotation_from_ortho6d(o6d: jnp.ndarray) -> jnp.ndarray:

@@ -230,6 +230,44 @@ def test_pipelined_matches_sequential(tmp_path):
     np.testing.assert_allclose(s_pip, s_seq, atol=1e-5)
 
 
+def test_crop_matmul_equals_gather_form():
+    """The separable-matmul crop equals the direct roi_align gather form
+    (including boxes that leave the image and degenerate sub-pixel boxes)."""
+
+    def gather_crop(images, boxes, output_size, r):
+        B, C, H, W = images.shape
+        oh, ow = output_size
+        out = np.zeros((B, C, oh, ow), np.float64)
+        for b in range(B):
+            x1, y1, x2, y2 = boxes[b]
+            gx = x1 + (np.arange(ow * r) + 0.5) * (x2 - x1) / (ow * r)
+            gy = y1 + (np.arange(oh * r) + 0.5) * (y2 - y1) / (oh * r)
+            for i, yy in enumerate(gy):
+                for j, xx in enumerate(gx):
+                    y0 = int(np.floor(yy - 0.5)); x0 = int(np.floor(xx - 0.5))
+                    wy = (yy - 0.5) - y0; wx = (xx - 0.5) - x0
+                    acc = np.zeros(C)
+                    for dy, wyv in ((0, 1 - wy), (1, wy)):
+                        for dx, wxv in ((0, 1 - wx), (1, wx)):
+                            yi, xi = y0 + dy, x0 + dx
+                            if 0 <= yi < H and 0 <= xi < W:
+                                acc += wyv * wxv * images[b, :, yi, xi]
+                    out[b, :, i // r, j // r] += acc / (r * r)
+        return out
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (2, 3, 12, 17)).astype(np.float32)
+    boxes = np.array([
+        [2.3, 1.1, 14.8, 10.2],   # interior
+        [-4.0, -2.5, 9.0, 15.5],  # spills out of the image on all sides
+    ], np.float32)
+    for r in (1, 4):
+        want = gather_crop(img, boxes, (5, 6), r)
+        got = np.asarray(R.crop_images_to_boxes(
+            jnp.asarray(img), jnp.asarray(boxes), (5, 6), sampling_ratio=r))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_crop_sampling_ratio_properties():
     """roi_align-style ratio-4 averaging: exact on constant regions and on
     linear gradients (averaging of bilinear samples preserves both)."""
