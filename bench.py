@@ -182,9 +182,22 @@ def bench_train(model: str):
     # jax.checkpoint_policies name (e.g. dots_saveable)
     remat_env = os.environ.get("GIGAPOSE_BENCH_REMAT", "0")
     remat = {"0": False, "1": True}.get(remat_env, remat_env)
+    # train-forward HBM-residue A/B knobs (VERDICT r4 #2); all default off
+    fuse_ist = os.environ.get("GIGAPOSE_BENCH_FUSE_IST", "0") == "1"
+    nce_bf16 = os.environ.get("GIGAPOSE_BENCH_NCE_BF16", "0") == "1"
+    bn_bf16 = os.environ.get("GIGAPOSE_BENCH_BN_BF16", "0") == "1"
+    knobs = "".join(
+        f" {k}" for k, on in
+        [("fuse_ist", fuse_ist), ("nce_bf16", nce_bf16), ("bn_bf16", bn_bf16)]
+        if on
+    )
     ae_net = AENet(model_name=model, compute_dtype=compute_dtype, remat=remat)
-    ist_net = default_ist_net(compute_dtype=compute_dtype)
-    cfg = OptimConfig()
+    ist_net = default_ist_net(
+        compute_dtype=compute_dtype,
+        norm_dtype="bfloat16" if bn_bf16 else None,
+    )
+    cfg = OptimConfig(fuse_ist_pair=fuse_ist,
+                      nce_dtype="bf16" if nce_bf16 else None)
     state, tx = create_train_state(ae_net, ist_net, jax.random.PRNGKey(0), cfg)
 
     rng = np.random.default_rng(0)
@@ -244,7 +257,7 @@ def bench_train(model: str):
             {
                 "metric": (
                     f"{step_label} throughput ({model}, B={B}, "
-                    f"{'bf16' if vit_bf16 else 'f32'}, remat={remat_env}) "
+                    f"{'bf16' if vit_bf16 else 'f32'}, remat={remat_env}{knobs}) "
                     "[vs_baseline = MFU; no published reference number]"
                 ),
                 "value": round(steps_per_s, 3),
@@ -330,10 +343,16 @@ def bench_refine():
         inits = np.stack(gts)
         inits[:, :3, 3] += rng.uniform(-0.02, 0.02, (B, 3)).astype(np.float32)
 
+        dev_faces = os.environ.get("GIGAPOSE_BENCH_DEVICE_MAX_FACES")
+        dev_chunk = int(os.environ.get("GIGAPOSE_BENCH_DEVICE_CHUNK", "64"))
         backends = {
             "host": RefinerConfig(),
             "pipelined": RefinerConfig(pipeline_chunks=2),
-            "device": RefinerConfig(renderer="device"),
+            "device": RefinerConfig(
+                renderer="device",
+                device_max_faces=int(dev_faces) if dev_faces else None,
+                device_chunk=dev_chunk,
+            ),
         }
         if only:
             backends = {only: backends[only]}

@@ -51,12 +51,17 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: object = None  # bf16 convs on the MXU; BatchNorm/residual stay f32
+    # BN output dtype (flax computes the batch statistics in f32 REGARDLESS,
+    # flax.linen.normalization._compute_stats upcasts) — bf16 halves the
+    # normalized-activation HBM traffic in train mode; default f32 preserves
+    # the measured serving numerics
+    norm_dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name=name
+            dtype=self.norm_dtype, name=name
         )
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -175,21 +180,27 @@ class ISTBackbone(nn.Module):
     # the ViT's compute_dtype; the IST forward was 6.15 ms of the 14.2 ms
     # ViT-S pipeline at f32 — BENCH r2)
     compute_dtype: str = None
+    # "bfloat16" additionally emits BatchNorm outputs in bf16 (stats still
+    # f32 inside flax) — a train-forward HBM-traffic knob, A/B'd on-chip
+    norm_dtype: str = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        ndt = jnp.bfloat16 if self.norm_dtype == "bfloat16" else jnp.float32
         x = jnp.transpose(images, (0, 2, 3, 1))  # NHWC
         x = resize_bilinear_align_corners(x, (self.input_size, self.input_size))
         x = nn.Conv(self.initial_dim, (7, 7), strides=(2, 2), padding=3,
                     use_bias=False, dtype=cdt, name="conv1")(x)
         x = nn.relu(
             nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=jnp.float32, name="bn1")(x)
+                         dtype=ndt, name="bn1")(x)
         )
         for i, (dim, stride) in enumerate(zip(self.block_dims, (1, 2, 2, 2))):
-            x = BasicBlock(dim, stride, dtype=cdt, name=f"layer{i + 1}_0")(x, train)
-            x = BasicBlock(dim, 1, dtype=cdt, name=f"layer{i + 1}_1")(x, train)
+            x = BasicBlock(dim, stride, dtype=cdt, norm_dtype=ndt,
+                           name=f"layer{i + 1}_0")(x, train)
+            x = BasicBlock(dim, 1, dtype=cdt, norm_dtype=ndt,
+                           name=f"layer{i + 1}_1")(x, train)
             if self.num_attn_heads > 0 and i in (1, 3):
                 x = SelfAttention2d(dim, self.num_attn_heads, name=f"attention{i//2 + 1}")(x)
         x = nn.Conv(self.descriptor_size, (1, 1), use_bias=False, dtype=cdt,
@@ -278,12 +289,14 @@ def default_ist_net(
     descriptor_size: int = 256,
     num_attn_heads: int = 0,
     compute_dtype: str = None,
+    norm_dtype: str = None,
 ) -> ISTNet:
     return ISTNet(
         backbone=ISTBackbone(
             descriptor_size=descriptor_size,
             num_attn_heads=num_attn_heads,
             compute_dtype=compute_dtype,
+            norm_dtype=norm_dtype,
         ),
         regressor=Regressor(hidden_dim=descriptor_size),
     )

@@ -25,6 +25,7 @@ def info_nce_loss(
     ref_feat: jnp.ndarray,
     valid: jnp.ndarray,
     tau: float = 0.1,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """InfoNCE over positive correspondence pairs with in-batch negatives
     (ref: InfoNCE, src/models/loss.py:71-86, tau=0.1).
@@ -34,15 +35,43 @@ def info_nce_loss(
     label set (their columns are masked) and the loss mean — matching the
     reference, which physically removes them before the (N_valid, N_valid)
     logit matrix.
+
+    compute_dtype=jnp.bfloat16 stores the (N, N) logit matrix in bf16 —
+    half the HBM traffic of the dominant loss-side tensor at train scale
+    (N = B*P = 6144 at B=24 -> 151 MB in f32). The logsumexp accumulates in
+    f32 and the positive logit is taken from the matched pair rows directly
+    (full f32), so only the NEGATIVE logits see bf16 rounding (~3 decimal
+    digits on cosine/tau values in [-10, 10]).
     """
     q = query_feat / jnp.linalg.norm(query_feat, axis=-1, keepdims=True).clip(1e-8)
     r = ref_feat / jnp.linalg.norm(ref_feat, axis=-1, keepdims=True).clip(1e-8)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    labels = jnp.arange(query_feat.shape[0])
+    if compute_dtype is not None:
+        pos = jnp.sum(q * r, axis=-1) / tau  # (N,) exact f32 positive logits
+        logits = (q.astype(compute_dtype) @ r.T.astype(compute_dtype)) / jnp.asarray(
+            tau, compute_dtype
+        )
+        # invalid columns cannot act as negatives; the diagonal must carry
+        # the same (bf16) value inside the logsumexp that rounds everything
+        neg_inf = jnp.asarray(-1e9, compute_dtype)
+        logits = jnp.where(valid[None, :], logits, neg_inf)
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=1)).astype(jnp.float32)
+        sumexp = jnp.sum(
+            jnp.exp(logits.astype(jnp.float32) - m[:, None]), axis=1
+        )  # convert fuses into the reduce: no f32 (N, N) materializes
+        lse = m + jnp.log(sumexp)
+        # replace the bf16 diagonal contribution with the exact one
+        diag_b16 = jnp.take_along_axis(logits, labels[:, None], axis=1)[:, 0]
+        lse = lse + jnp.log1p(
+            (jnp.exp(pos - lse) - jnp.exp(diag_b16.astype(jnp.float32) - lse))
+        )
+        losses = lse - pos
+        return jnp.sum(losses * valid) / denom
     logits = (q @ r.T) / tau  # (N, N)
     # mask invalid columns so they cannot act as negatives
     logits = jnp.where(valid[None, :], logits, -1e9)
-    labels = jnp.arange(query_feat.shape[0])
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-    denom = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(losses * valid) / denom
 
 

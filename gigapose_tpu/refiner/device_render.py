@@ -53,19 +53,70 @@ class DeviceMeshes:
         return np.asarray([self.label_to_row[int(l)] for l in labels], np.int32)
 
 
+def decimate_vertex_clustering(
+    verts: np.ndarray, faces: np.ndarray, colors: np.ndarray, max_faces: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic grid vertex-clustering decimation to <= max_faces.
+
+    The device rasterizer's cost is linear in the face count (every triangle
+    is evaluated against the full pixel grid — device_render module
+    docstring), while a 160x160 render-and-compare crop resolves ~1e4
+    foreground pixels: faces beyond a few thousand are sub-pixel. Vertices
+    snap to the FINEST uniform grid whose cluster mesh fits the budget
+    (positions/colors cluster-averaged, degenerate faces dropped) — the
+    standard vertex-clustering scheme (Rossignac & Borrel '93), chosen over
+    edge-collapse for determinism and O(V) cost."""
+    if len(faces) <= max_faces:
+        return verts, faces, colors
+    lo = verts.min(0)
+    extent = float((verts.max(0) - lo).max()) + 1e-12
+    for cells in (512, 384, 256, 192, 128, 96, 64, 48, 32, 24, 16, 12, 8, 6, 4):
+        size = extent / cells
+        key = np.floor((verts - lo) / size).astype(np.int64)
+        _, inv = np.unique(key, axis=0, return_inverse=True)
+        nf = inv[faces]
+        good = (
+            (nf[:, 0] != nf[:, 1]) & (nf[:, 1] != nf[:, 2]) & (nf[:, 0] != nf[:, 2])
+        )
+        nf = nf[good]
+        if len(nf) <= max_faces:
+            n = int(inv.max()) + 1
+            nv = np.zeros((n, 3), np.float64)
+            nc = np.zeros((n, 3), np.float64)
+            cnt = np.zeros(n, np.float64)
+            np.add.at(nv, inv, verts)
+            np.add.at(nc, inv, colors)
+            np.add.at(cnt, inv, 1.0)
+            nv /= cnt[:, None]
+            nc /= cnt[:, None]
+            return (nv.astype(np.float32), nf.astype(np.int32),
+                    nc.astype(np.float32))
+    raise AssertionError("decimation failed to reach the face budget")
+
+
 def build_device_meshes(
     mesh_paths: Dict[int, str],
     unit_to_m: Dict[int, float],
     chunk: int = 64,
+    max_faces: int = None,
 ) -> DeviceMeshes:
-    """Load + pad + scale every mesh into one stacked device-resident pack."""
+    """Load + pad + scale every mesh into one stacked device-resident pack.
+
+    max_faces: optional per-mesh decimation budget for the on-device raster
+    (see decimate_vertex_clustering) — the host C++ raster path always uses
+    the exact mesh."""
     loaded = {}
     for label, path in mesh_paths.items():
         verts, faces, colors = load_mesh(path)
         verts = verts.astype(np.float32) * np.float32(unit_to_m[label])
         if colors is None:
             colors = np.full((len(verts), 3), 200, np.uint8)  # grey default
-        loaded[label] = (verts, faces.astype(np.int32), colors.astype(np.float32))
+        colors = colors.astype(np.float32)
+        faces = faces.astype(np.int32)
+        if max_faces is not None:
+            verts, faces, colors = decimate_vertex_clustering(
+                verts, faces, colors, max_faces)
+        loaded[label] = (verts, faces, colors)
     v_max = max(len(v) for v, _, _ in loaded.values())
     f_max = max(len(f) for _, f, _ in loaded.values())
     f_max += (-f_max) % chunk

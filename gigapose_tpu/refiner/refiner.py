@@ -55,6 +55,13 @@ class RefinerConfig:
     # host path only: pipeline host renders of detection chunk i+1 against
     # chunk i's device step (1 = no pipelining)
     pipeline_chunks: int = 1
+    # device path only: per-mesh face budget (vertex-clustering decimation,
+    # device_render.decimate_vertex_clustering) — the on-device raster is
+    # linear in face count; None renders the exact mesh. The host C++ raster
+    # always uses the exact mesh.
+    device_max_faces: Optional[int] = None
+    # device path only: triangles evaluated per raster scan step
+    device_chunk: int = 64
     # score the INIT pose too and keep it wherever it outranks the refined
     # pose — the refiner then never returns a pose its own scorer judges
     # worse than its input (a robustness upgrade over the reference, which
@@ -304,7 +311,15 @@ class RenderCompareRefiner:
 
         @jax.jit
         def crop_step(images, K, TCO, points):
-            return _crop_prep(images, K, TCO, points, cfg.render_size, cfg.lamb)
+            TCO_n, tCR, K_crop, crops = _crop_prep(
+                images, K, TCO, points, cfg.render_size, cfg.lamb)
+            # ONE host-fetchable pack per iteration instead of two: on the
+            # relay every D2H round trip costs ~100+ ms of latency, so the
+            # host raster reads pose+intrinsics from a single (B, 25) array
+            B = TCO.shape[0]
+            pack = jnp.concatenate(
+                [TCO_n.reshape(B, 16), K_crop.reshape(B, 9)], axis=1)
+            return TCO_n, tCR, K_crop, crops, pack
 
         @jax.jit
         def update_step(refiner_vars, crops, renders, TCO, K_crop, tCR):
@@ -381,7 +396,9 @@ class RenderCompareRefiner:
             mesh_paths = {l: r.mesh_path
                           for l, r in self.meshes.rasterizers.items()}
             self._device_pack = DR.build_device_meshes(
-                mesh_paths, self.meshes.unit_to_m
+                mesh_paths, self.meshes.unit_to_m,
+                chunk=self.config.device_chunk,
+                max_faces=self.config.device_max_faces,
             )
         return self._device_pack
 
@@ -478,12 +495,16 @@ class RenderCompareRefiner:
                 tm[key] = tm.get(key, 0.0) + (t1 - t0)
             return t1
 
+        B = len(labels)
         for _ in range(n_it):
             t0 = _time.perf_counter()
-            TCO, tCR, K_crop, crops = crop_step(imgs, Kd, TCO, pts)
-            # the host fetch below fences the crop step (and the previous
-            # update step) — on the axon relay block_until_ready is a no-op
-            TCO_h, K_h = np.asarray(TCO), np.asarray(K_crop)
+            TCO, tCR, K_crop, crops, pack = crop_step(imgs, Kd, TCO, pts)
+            # ONE host fetch per iteration; it fences the crop step (and the
+            # previous update step) — on the axon relay block_until_ready is
+            # a no-op and every extra D2H costs a full relay round trip
+            pack_h = np.asarray(pack)
+            TCO_h = pack_h[:, :16].reshape(B, 4, 4)
+            K_h = pack_h[:, 16:].reshape(B, 3, 3)
             t0 = _lap("fetch", t0)
             renders = self.meshes.render_batch(
                 labels, TCO_h, K_h, self.config.render_size,
@@ -495,27 +516,33 @@ class RenderCompareRefiner:
             )
             _lap("upload_update", t0)
         # scoring at the final pose (ref: forward_scoring_model)
-        TCO_n, tCR, K_crop, crops = crop_step(imgs, Kd, TCO, pts)
+        TCO_n, tCR, K_crop, crops, pack = crop_step(imgs, Kd, TCO, pts)
+        pack_h = np.asarray(pack)
         renders = self.meshes.render_batch(
-            labels, np.asarray(TCO_n), np.asarray(K_crop),
+            labels, pack_h[:, :16].reshape(B, 4, 4),
+            pack_h[:, 16:].reshape(B, 3, 3),
             self.config.render_size, out_dtype=np.uint8,
         )
         scores = np.asarray(
             score_step(self.scorer_vars, crops, jnp.asarray(renders))
         )
-        TCO_out = np.asarray(TCO_n)
+        TCO_out = pack_h[:, :16].reshape(B, 4, 4)  # already fetched
         if self.config.keep_best_init:
             # score the init pose with the same scorer; keep whichever wins
-            TCO_0, _, K_0, crops_0 = crop_step(imgs, Kd, jnp.asarray(
+            TCO_0, _, K_0, crops_0, pack0 = crop_step(imgs, Kd, jnp.asarray(
                 TCO_init, jnp.float32), pts)
+            pack0_h = np.asarray(pack0)
             renders_0 = self.meshes.render_batch(
-                labels, np.asarray(TCO_0), np.asarray(K_0),
+                labels, pack0_h[:, :16].reshape(B, 4, 4),
+                pack0_h[:, 16:].reshape(B, 3, 3),
                 self.config.render_size, out_dtype=np.uint8,
             )
             s0 = np.asarray(
                 score_step(self.scorer_vars, crops_0, jnp.asarray(renders_0))
             )
             keep = s0 > scores
-            TCO_out = np.where(keep[:, None, None], np.asarray(TCO_0), TCO_out)
+            TCO_out = np.where(
+                keep[:, None, None], pack0_h[:, :16].reshape(B, 4, 4), TCO_out
+            )
             scores = np.maximum(s0, scores)
         return TCO_out, scores

@@ -165,6 +165,7 @@ def train_refiner(
     train_scorer: bool = True,
     perturb: PerturbConfig = PerturbConfig(),
     final_perturb: "PerturbConfig | None" = None,
+    grad_clip: float = 0.0,
 ) -> RenderCompareRefiner:
     """Self-supervised render-and-perturb training of refiner (+ scorer).
 
@@ -182,9 +183,20 @@ def train_refiner(
     cfg = refiner.config
     crop_step, _, _ = refiner._device_steps()
 
-    tx = optax.adam(lr)
+    # grad_clip > 0 chains clip_by_global_norm before adam: at toy widths
+    # the disentangled loss has a runaway basin that f32 reduction-order
+    # noise alone can tip into (the 8-virtual-device slow-gate incident,
+    # ROUND_NOTES r4) — clipping bounds the per-step parameter motion so
+    # the basin is unreachable from backend noise
+    def make_tx():
+        if grad_clip > 0:
+            return optax.chain(optax.clip_by_global_norm(grad_clip),
+                               optax.adam(lr))
+        return optax.adam(lr)
+
+    tx = make_tx()
     opt_state = tx.init(refiner.refiner_vars["params"])
-    s_tx = optax.adam(lr)
+    s_tx = make_tx()
     s_opt_state = s_tx.init(refiner.scorer_vars["params"])
 
     @jax.jit
@@ -247,12 +259,15 @@ def train_refiner(
             np.stack([refiner.meshes.points[int(l)] for l in batch["labels"]]),
             jnp.float32,
         )
-        TCO_in, tCR, K_crop, crops = crop_step(
+        TCO_in, tCR, K_crop, crops, pack = crop_step(
             jnp.asarray(batch["images"]), jnp.asarray(batch["K"]),
             jnp.asarray(batch["TCO_init"]), pts,
         )
+        Bc = len(batch["labels"])
+        pack_h = np.asarray(pack)
         renders = refiner.meshes.render_batch(
-            batch["labels"], np.asarray(TCO_in), np.asarray(K_crop), cfg.render_size
+            batch["labels"], pack_h[:, :16].reshape(Bc, 4, 4),
+            pack_h[:, 16:].reshape(Bc, 3, 3), cfg.render_size,
         )
         params, stats, opt_state, aux = refiner_step(
             params, stats, opt_state, crops, jnp.asarray(renders), TCO_in,
@@ -260,13 +275,14 @@ def train_refiner(
         )
         if train_scorer:
             # positives: renders at the GT pose; negatives: at the perturbed
-            TCO_gt_n, _, K_gt, crops_gt = crop_step(
+            TCO_gt_n, _, K_gt, crops_gt, pack_gt = crop_step(
                 jnp.asarray(batch["images"]), jnp.asarray(batch["K"]),
                 jnp.asarray(batch["TCO_gt"]), pts,
             )
+            pg = np.asarray(pack_gt)
             renders_gt = refiner.meshes.render_batch(
-                batch["labels"], np.asarray(TCO_gt_n), np.asarray(K_gt),
-                cfg.render_size,
+                batch["labels"], pg[:, :16].reshape(Bc, 4, 4),
+                pg[:, 16:].reshape(Bc, 3, 3), cfg.render_size,
             )
             x_crops = jnp.concatenate([crops_gt, crops], 0)
             x_renders = jnp.concatenate(

@@ -201,6 +201,10 @@ def main(argv=None):
             PerturbConfig(rot_deg=rot / 4, trans_xy=txy / 4, trans_z=tz / 4)
             if curriculum else None
         ),
+        # bounds per-step parameter motion so backend reduction-order noise
+        # cannot tip the toy recipe into the runaway basin (the r4
+        # 8-virtual-device slow-gate incident); grad_clip=0 reproduces it
+        grad_clip=float(kv.get("refiner_grad_clip", 1.0)),
     )
     init_path = find_init_pose_path(
         osp.join(save_dir, "predictions"), "tudl", "selfcheck", "0",

@@ -152,6 +152,89 @@ def test_info_nce_matches_compacted():
     np.testing.assert_allclose(float(got), want, rtol=1e-4)
 
 
+def test_info_nce_bf16_logits_close_and_f32_exact():
+    """The bf16-logit-matrix path (OptimConfig.nce_dtype="bf16"): with
+    compute_dtype=f32 it reproduces the optax path to float tolerance; with
+    bf16 the loss and its gradients stay within bf16 rounding of the f32
+    value (only negative logits see the rounding)."""
+    rng = np.random.default_rng(5)
+    N, C = 48, 16
+    q = rng.normal(size=(N, C)).astype(np.float32)
+    r = q + 0.3 * rng.normal(size=(N, C)).astype(np.float32)
+    valid = jnp.asarray(rng.uniform(size=N) > 0.3)
+
+    base = losses.info_nce_loss(jnp.asarray(q), jnp.asarray(r), valid, tau=0.1)
+    same = losses.info_nce_loss(jnp.asarray(q), jnp.asarray(r), valid, tau=0.1,
+                                compute_dtype=jnp.float32)
+    np.testing.assert_allclose(float(same), float(base), rtol=1e-5)
+    b16 = losses.info_nce_loss(jnp.asarray(q), jnp.asarray(r), valid, tau=0.1,
+                               compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(float(b16), float(base), rtol=2e-2)
+
+    g_base = jax.grad(
+        lambda a, b: losses.info_nce_loss(a, b, valid, tau=0.1)
+    )(jnp.asarray(q), jnp.asarray(r))
+    g_b16 = jax.grad(
+        lambda a, b: losses.info_nce_loss(a, b, valid, tau=0.1,
+                                          compute_dtype=jnp.bfloat16)
+    )(jnp.asarray(q), jnp.asarray(r))
+    # gradient direction preserved (cosine similarity, not elementwise)
+    ga, gb = np.asarray(g_base).ravel(), np.asarray(g_b16).ravel()
+    cos = ga @ gb / (np.linalg.norm(ga) * np.linalg.norm(gb) + 1e-12)
+    assert cos > 0.999, cos
+
+
+def test_train_forward_knobs_smoke():
+    """fuse_ist_pair + nce_dtype + norm_dtype: the flagged train forward runs,
+    is finite, and stays close to the default path (BN joint stats and bf16
+    rounding are the only deviations)."""
+    from gigapose_tpu.models.ae_net import AENet
+    from gigapose_tpu.models.ist_net import ISTBackbone, ISTNet, Regressor
+    from gigapose_tpu.training.state import (
+        OptimConfig, TrainBatch, compute_losses, create_train_state,
+    )
+
+    def nets(norm_dtype=None):
+        ae = AENet(model_name="vit_tiny_test")
+        ist = ISTNet(
+            backbone=ISTBackbone(initial_dim=8, block_dims=(8, 8, 12, 16),
+                                 descriptor_size=16, input_size=256,
+                                 norm_dtype=norm_dtype),
+            regressor=Regressor(hidden_dim=16),
+        )
+        return ae, ist
+
+    B, P = 2, 16
+    rng = np.random.default_rng(0)
+    pts = rng.integers(0, 4, size=(B, P, 2)).astype(np.float32)
+    batch = TrainBatch(
+        src_img=jnp.asarray(rng.normal(size=(B, 3, 224, 224)), jnp.float32),
+        tar_img=jnp.asarray(rng.normal(size=(B, 3, 224, 224)), jnp.float32),
+        src_pts=jnp.asarray(pts), tar_pts=jnp.asarray(pts),
+        rel_scale=jnp.ones((B,), jnp.float32),
+        rel_inplane=jnp.zeros((B,), jnp.float32),
+    )
+
+    def loss_with(cfg, norm_dtype=None):
+        ae, ist = nets(norm_dtype)
+        state, _ = create_train_state(ae, ist, jax.random.PRNGKey(0), cfg)
+        params = {"ae": state.ae_params, "ist": state.ist_params}
+        total, (metrics, new_stats) = compute_losses(
+            ae, ist, params, state.ist_batch_stats, batch, state.step, cfg)
+        return float(total), metrics, new_stats
+
+    base, m0, _ = loss_with(OptimConfig())
+    fused, m1, stats1 = loss_with(OptimConfig(fuse_ist_pair=True))
+    assert np.isfinite(fused)
+    # fused BN stats still update (mutable path through method=features)
+    assert jax.tree_util.tree_leaves(stats1)
+    np.testing.assert_allclose(fused, base, rtol=0.15)  # joint-vs-split stats
+    b16, _, _ = loss_with(OptimConfig(nce_dtype="bf16"))
+    np.testing.assert_allclose(b16, base, rtol=2e-2)
+    bn16, _, _ = loss_with(OptimConfig(), norm_dtype="bfloat16")
+    np.testing.assert_allclose(bn16, base, rtol=5e-2)
+
+
 def test_scale_inplane_losses():
     rng = np.random.default_rng(4)
     pred = jnp.asarray(rng.uniform(0.5, 2, 10), jnp.float32)

@@ -230,6 +230,33 @@ def test_pipelined_matches_sequential(tmp_path):
     np.testing.assert_allclose(s_pip, s_seq, atol=1e-5)
 
 
+def test_device_mesh_decimation(tmp_path):
+    """Vertex-clustering decimation: face budget met, and the decimated
+    render stays close to the exact one (mask IoU) at refine crop size."""
+    import jax.numpy as jnp
+    from bench import _write_sphere_ply
+    from gigapose_tpu.refiner import device_render as DR
+
+    mesh = str(tmp_path / "sphere.ply")
+    _write_sphere_ply(mesh, radius_m=0.05, levels=3)  # 1280 faces
+    full = DR.build_device_meshes({1: mesh}, {1: 1.0})
+    dec = DR.build_device_meshes({1: mesh}, {1: 1.0}, max_faces=320)
+    assert int((dec.faces[0].sum(axis=1) > 0).sum()) <= 320
+    K = np.array([[572.4, 0, 80], [0, 573.5, 80], [0, 0, 1.0]], np.float32)[None]
+    TCO = np.eye(4, dtype=np.float32)[None]
+    TCO[:, 2, 3] = 0.4
+    def render(pack):
+        rows = jnp.asarray(pack.rows_for(np.array([1])))
+        return np.asarray(DR.render_rgb(
+            pack.verts[rows], pack.faces[rows], pack.colors[rows],
+            jnp.asarray(K), jnp.asarray(TCO), (160, 160), pack.chunk))
+    rf, rd = render(full), render(dec)
+    mf, md = rf.sum(1) > 0, rd.sum(1) > 0
+    assert mf.any()
+    iou = (mf & md).sum() / max((mf | md).sum(), 1)
+    assert iou > 0.93, iou
+
+
 def test_crop_matmul_equals_gather_form():
     """The separable-matmul crop equals the direct roi_align gather form
     (including boxes that leave the image and degenerate sub-pixel boxes)."""
