@@ -186,19 +186,24 @@ def bench_train(model: str):
     fuse_ist = os.environ.get("GIGAPOSE_BENCH_FUSE_IST", "0") == "1"
     nce_bf16 = os.environ.get("GIGAPOSE_BENCH_NCE_BF16", "0") == "1"
     bn_bf16 = os.environ.get("GIGAPOSE_BENCH_BN_BF16", "0") == "1"
-    knobs = "".join(
-        f" {k}" for k, on in
-        [("fuse_ist", fuse_ist), ("nce_bf16", nce_bf16), ("bn_bf16", bn_bf16)]
-        if on
-    )
-    ae_net = AENet(model_name=model, compute_dtype=compute_dtype, remat=remat)
-    ist_net = default_ist_net(
-        compute_dtype=compute_dtype,
-        norm_dtype="bfloat16" if bn_bf16 else None,
-    )
-    cfg = OptimConfig(fuse_ist_pair=fuse_ist,
-                      nce_dtype="bf16" if nce_bf16 else None)
-    state, tx = create_train_state(ae_net, ist_net, jax.random.PRNGKey(0), cfg)
+    # GIGAPOSE_BENCH_KNOB_SWEEP: comma list of knob configs A/B'd warm in
+    # THIS process (relay run-to-run variance is ±6%; only in-process
+    # comparisons are trustworthy — CLAUDE.md r3 lessons). Names:
+    # base | fuse_ist | nce_bf16 | bn_bf16 | all
+    sweep = os.environ.get("GIGAPOSE_BENCH_KNOB_SWEEP")
+    if sweep:
+        configs = []
+        for name in sweep.split(","):
+            name = name.strip()
+            configs.append((name, {
+                "base": (False, False, False),
+                "fuse_ist": (True, False, False),
+                "nce_bf16": (False, True, False),
+                "bn_bf16": (False, False, True),
+                "all": (True, True, True),
+            }[name]))
+    else:
+        configs = [("env", (fuse_ist, nce_bf16, bn_bf16))]
 
     rng = np.random.default_rng(0)
     P = 256
@@ -215,57 +220,87 @@ def bench_train(model: str):
 
     import functools
 
-    # GIGAPOSE_BENCH_TRAIN_FWD=1: measure the LOSS FORWARD alone (no grad, no
-    # optimizer) — the decomposition point for the train-MFU floor analysis
-    # (fwd MFU vs full-step MFU isolates how much the backward pass costs).
-    if os.environ.get("GIGAPOSE_BENCH_TRAIN_FWD", "0") == "1":
-        from gigapose_tpu.training.state import compute_losses
+    fwd_only_mode = os.environ.get("GIGAPOSE_BENCH_TRAIN_FWD", "0") == "1"
 
-        def fwd_only(state, batch):
-            params = {"ae": state.ae_params, "ist": state.ist_params}
-            total, (metrics, _) = compute_losses(
-                ae_net, ist_net, params, state.ist_batch_stats, batch,
-                state.step, cfg,
-            )
-            return state, metrics
-
-        jfn = jax.jit(fwd_only)
-        step_label = "train LOSS-FWD-only"
-    else:
-        jfn = jax.jit(functools.partial(train_step, ae_net, ist_net, tx, cfg),
-                      donate_argnums=0)  # in-place param/opt-state buffers
-        step_label = "train step"
-    lowered = jfn.lower(state, batch)
-    compiled = lowered.compile()
-    try:
-        flops_per_step = float(compiled.cost_analysis()["flops"])
-    except Exception:
-        flops_per_step = 0.0
-
-    state, metrics = jfn(state, batch)
-    _ = np.asarray(metrics["total"])  # compile+warm; host fetch is the fence
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = jfn(state, batch)
-    _ = np.asarray(metrics["total"])
-    dt = time.perf_counter() - t0
-    steps_per_s = iters / dt
-    peak = 197e12 if on_tpu else 0  # v5e bf16 peak
-    mfu = (flops_per_step * steps_per_s / peak) if peak else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"{step_label} throughput ({model}, B={B}, "
-                    f"{'bf16' if vit_bf16 else 'f32'}, remat={remat_env}{knobs}) "
-                    "[vs_baseline = MFU; no published reference number]"
-                ),
-                "value": round(steps_per_s, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(mfu, 3),
-            }
+    def run_config(name, fuse_ist, nce_bf16, bn_bf16):
+        knobs = "".join(
+            f" {k}" for k, on in
+            [("fuse_ist", fuse_ist), ("nce_bf16", nce_bf16),
+             ("bn_bf16", bn_bf16)]
+            if on
         )
-    )
+        ae_net = AENet(model_name=model, compute_dtype=compute_dtype,
+                       remat=remat)
+        ist_net = default_ist_net(
+            compute_dtype=compute_dtype,
+            norm_dtype="bfloat16" if bn_bf16 else None,
+        )
+        cfg = OptimConfig(fuse_ist_pair=fuse_ist,
+                          nce_dtype="bf16" if nce_bf16 else None)
+        state, tx = create_train_state(ae_net, ist_net, jax.random.PRNGKey(0),
+                                       cfg)
+
+        # GIGAPOSE_BENCH_TRAIN_FWD=1: measure the LOSS FORWARD alone (no
+        # grad, no optimizer) — the decomposition point for the train-MFU
+        # floor analysis (fwd MFU vs full-step MFU isolates the backward).
+        if fwd_only_mode:
+            from gigapose_tpu.training.state import compute_losses
+
+            def fwd_only(state, batch):
+                params = {"ae": state.ae_params, "ist": state.ist_params}
+                total, (metrics, _) = compute_losses(
+                    ae_net, ist_net, params, state.ist_batch_stats, batch,
+                    state.step, cfg,
+                )
+                return state, metrics
+
+            jfn = jax.jit(fwd_only)
+            step_label = "train LOSS-FWD-only"
+        else:
+            jfn = jax.jit(
+                functools.partial(train_step, ae_net, ist_net, tx, cfg),
+                donate_argnums=0,  # in-place param/opt-state buffers
+            )
+            step_label = "train step"
+        lowered = jfn.lower(state, batch)
+        compiled = lowered.compile()
+        try:
+            flops_per_step = float(compiled.cost_analysis()["flops"])
+        except Exception:
+            flops_per_step = 0.0
+
+        state, metrics = jfn(state, batch)
+        _ = np.asarray(metrics["total"])  # compile+warm; host fetch = fence
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = jfn(state, batch)
+        _ = np.asarray(metrics["total"])
+        dt = time.perf_counter() - t0
+        steps_per_s = iters / dt
+        peak = 197e12 if on_tpu else 0  # v5e bf16 peak
+        mfu = (flops_per_step * steps_per_s / peak) if peak else 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"{step_label} throughput ({model}, B={B}, "
+                        f"{'bf16' if vit_bf16 else 'f32'}, "
+                        f"remat={remat_env}{knobs}) "
+                        "[vs_baseline = MFU; no published reference number]"
+                    ),
+                    "value": round(steps_per_s, 3),
+                    "unit": "steps/s",
+                    "vs_baseline": round(mfu, 3),
+                }
+            ),
+            flush=True,
+        )
+        print(f"[train] {name}: {steps_per_s:.3f} steps/s "
+              f"({steps_per_s * B:.1f} samples/s, MFU {mfu:.3f})",
+              file=sys.stderr, flush=True)
+
+    for name, (fi, nb, bb) in configs:
+        run_config(name, fi, nb, bb)  # state freed per call (no refs kept)
 
 
 def _write_sphere_ply(path: str, radius_m: float, levels: int):
@@ -343,19 +378,26 @@ def bench_refine():
         inits = np.stack(gts)
         inits[:, :3, 3] += rng.uniform(-0.02, 0.02, (B, 3)).astype(np.float32)
 
+        # comma list -> one device@N variant per face budget, A/B'd warm in
+        # THIS process (run-to-run relay variance is ±6%; in-process A/Bs
+        # are the only trustworthy comparisons — CLAUDE.md r3 lessons)
         dev_faces = os.environ.get("GIGAPOSE_BENCH_DEVICE_MAX_FACES")
         dev_chunk = int(os.environ.get("GIGAPOSE_BENCH_DEVICE_CHUNK", "64"))
         backends = {
             "host": RefinerConfig(),
             "pipelined": RefinerConfig(pipeline_chunks=2),
-            "device": RefinerConfig(
-                renderer="device",
-                device_max_faces=int(dev_faces) if dev_faces else None,
-                device_chunk=dev_chunk,
-            ),
         }
+        for budget in (dev_faces.split(",") if dev_faces else [""]):
+            name = f"device@{budget}" if budget else "device"
+            backends[name] = RefinerConfig(
+                renderer="device",
+                device_max_faces=int(budget) if budget else None,
+                device_chunk=dev_chunk,
+            )
         if only:
-            backends = {only: backends[only]}
+            backends = {k: v for k, v in backends.items()
+                        if k == only or (only == "device" and
+                                         k.startswith("device"))}
         results = {}
         for name, cfg in backends.items():
             ref = RenderCompareRefiner(
@@ -413,7 +455,15 @@ def bench_stages(model: str):
     from gigapose_tpu.ops.pallas_matching import pallas_match_scores
     from gigapose_tpu.models.vit import VIT_CONFIGS
 
-    default_b = "32" if "vits" in model else "16"
+    # GIGAPOSE_BENCH_QUANT=1 decomposes the SHIPPING int8 pipeline at its
+    # own batch sweet spots (VERDICT r4 next-round #6) — the AE stage then
+    # runs the fused W8A8 kernels (models/vit_int8), exactly what
+    # bench_coarse's serving path uses
+    quant = os.environ.get("GIGAPOSE_BENCH_QUANT", "0") == "1"
+    if quant:
+        default_b = "64" if "vits" in model else "32"
+    else:
+        default_b = "32" if "vits" in model else "16"
     B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", default_b))
     iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "20"))
     on_tpu = jax.default_backend() == "tpu"
@@ -436,8 +486,19 @@ def bench_stages(model: str):
 
     ae = AENet(model_name=model, compute_dtype=cdt)
     pa = ae.init(jax.random.PRNGKey(0), x[:1])
-    ae_ms = timed(jax.jit(lambda p, x: ae.apply(p, x)), pa, x,
-                  fence=lambda o: o[0, 0, 0])
+    if quant:
+        from gigapose_tpu.models.vit_int8 import AENetInt8
+
+        # interpret mode off-TPU so the mode stays smoke-testable on CPU
+        ae_q = AENetInt8.from_ae_net(
+            ae, pa, backend="pallas" if on_tpu else "interpret"
+        )
+        qp = ae_q.params
+        ae_ms = timed(jax.jit(lambda p, x: ae_q.apply(p, x)), qp, x,
+                      fence=lambda o: o[0, 0, 0])
+    else:
+        ae_ms = timed(jax.jit(lambda p, x: ae.apply(p, x)), pa, x,
+                      fence=lambda o: o[0, 0, 0])
 
     ist = default_ist_net(compute_dtype=cdt)
     iv = ist.init(jax.random.PRNGKey(1), x[:1], x[:1],
@@ -459,7 +520,8 @@ def bench_stages(model: str):
         json.dumps(
             {
                 "metric": (
-                    f"coarse stage decomposition ({model}, B={B}): "
+                    f"coarse stage decomposition ({model}, B={B}, "
+                    f"AE={'int8' if quant else 'bf16' if cdt else 'f32'}): "
                     f"AE {ae_ms:.2f} ms, IST {ist_ms:.2f} ms, "
                     f"matching {match_ms:.2f} ms"
                 ),
@@ -468,6 +530,148 @@ def bench_stages(model: str):
                 "vs_baseline": 0.0,
             }
         )
+    )
+
+
+def bench_sharded(model: str):
+    """Single-chip overhead bound for the view-sharded store (VERDICT r4
+    next-round #7): coarse_forward_sharded on a (dp=1, tv=1) mesh vs the
+    plain jitted pipeline, A/B'd warm in ONE process. The delta bounds the
+    shard_map wrapper + per-shard top-k + candidate merge + psum-gather
+    machinery that a tv>1 deployment pays on every chip; the collective
+    payload arithmetic lives in parallel/sharded_store.py's docstring."""
+    import functools
+
+    import jax
+
+    from __graft_entry__ import _coarse_setup
+    from gigapose_tpu.parallel.sharded_store import (
+        coarse_forward_sharded, make_dp_tv_mesh, shard_template_store,
+    )
+
+    quant = os.environ.get("GIGAPOSE_BENCH_QUANT", "0") == "1"
+    if "vits" in model:
+        default_b = "64" if quant else "32"
+    else:
+        default_b = "32" if quant else "16"
+    B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", default_b))
+    iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "20"))
+    use_pallas = os.environ.get("GIGAPOSE_BENCH_PALLAS", "0") == "1"
+
+    fn, (ae_params, ist_vars, store, batch), est = _coarse_setup(
+        model, B=B, V=162, npat=16, img=224, use_pallas=use_pallas,
+        return_est=True,
+    )
+    mesh = make_dp_tv_mesh(1, 1)
+    sstore = shard_template_store(store, mesh)
+    jplain = jax.jit(fn)
+    jshard = jax.jit(functools.partial(
+        coarse_forward_sharded, est.ae_net, est.ist_net,
+        mesh=mesh, cfg=est.config,
+    ))
+
+    def timed(jfn, st):
+        out = jfn(ae_params, ist_vars, st, batch)
+        _ = np.asarray(out.poses)  # compile + warm; host fetch = fence
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jfn(ae_params, ist_vars, st, batch)
+        _ = np.asarray(out.poses)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    plain_ms = timed(jplain, store)
+    shard_ms = timed(jshard, sstore)
+    overhead = shard_ms / plain_ms - 1.0
+    print(f"[sharded] plain {plain_ms:.2f} ms vs (dp=1,tv=1) sharded "
+          f"{shard_ms:.2f} ms -> overhead {overhead * 100:.1f}%",
+          file=sys.stderr, flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"sharded-store single-chip overhead ({model}, B={B}, "
+                    f"plain {plain_ms:.2f} ms vs tv=1 sharded "
+                    f"{shard_ms:.2f} ms) [vs_baseline = overhead fraction]"
+                ),
+                "value": round(shard_ms, 2),
+                "unit": "ms/batch",
+                "vs_baseline": round(overhead, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_e2e(model: str):
+    """End-to-end test.py wall-clock (VERDICT r4 next-round #8): the north
+    star is query crops/s INCLUDING host decode, RLE mask decode, device
+    crop, bucket padding, RANSAC glue, and csv writing — bench_coarse only
+    times the jitted device pipeline on synthetic tensors. Drives the real
+    CoarseRunner.run over a generated BOP-format fixture (n images x m
+    CNOS detections, full 162-view store) with the shipping serving config;
+    pass 1 compiles, pass 2 is the measurement."""
+    import shutil
+
+    from tests import synthetic_bop
+    from gigapose_tpu.dataloader.test_set import InferenceDataset
+    from gigapose_tpu.pipeline.estimator import (
+        EstimatorConfig, GigaPoseEstimator,
+    )
+    from gigapose_tpu.pipeline.runner import CoarseRunner
+
+    import jax.numpy as jnp
+
+    n_imgs = int(os.environ.get("GIGAPOSE_BENCH_E2E_IMAGES", "8"))
+    n_inst = int(os.environ.get("GIGAPOSE_BENCH_E2E_DETS", "8"))
+    root = "/tmp/gigapose_bench_e2e"
+    shutil.rmtree(root, ignore_errors=True)
+    synthetic_bop.build(root, num_templates=162, n_test_images=n_imgs,
+                        insts_per_image=n_inst)
+    datasets = os.path.join(root, "datasets")
+
+    use_pallas = os.environ.get("GIGAPOSE_BENCH_PALLAS", "0") == "1"
+    quant = os.environ.get("GIGAPOSE_BENCH_QUANT", "0") == "1"
+    bf16_store = os.environ.get("GIGAPOSE_BENCH_BF16", "0") == "1"
+    vit_bf16 = os.environ.get("GIGAPOSE_BENCH_VIT_BF16", "0") == "1"
+    est = GigaPoseEstimator.create(
+        model_name=model,
+        config=EstimatorConfig(use_pallas_matching=use_pallas),
+        compute_dtype="bfloat16" if vit_bf16 else None,
+    )
+    if quant:
+        est.quantize_serving()
+    t_onb = time.perf_counter()
+    runner = CoarseRunner.onboard(
+        est, template_dir=os.path.join(datasets, "templates", "tudl"),
+        save_dir=os.path.join(root, "results", "bench"),
+        dataset_name="tudl",
+        feature_dtype=jnp.bfloat16 if bf16_store else None,
+    )
+    t_onb = time.perf_counter() - t_onb
+    dataset = InferenceDataset(root_dir=datasets, dataset_name="tudl")
+    runner.run(dataset, model_name="bench", run_id="warm")  # compile pass
+    t0 = time.perf_counter()
+    runner.run(dataset, model_name="bench", run_id="timed")
+    dt = time.perf_counter() - t0
+    crops = n_imgs * n_inst
+    cps = crops / dt
+    print(f"[e2e] {model}: {crops} crops over {n_imgs} images in {dt:.2f} s "
+          f"-> {cps:.1f} crops/s wall-clock (onboard 2x162 views: "
+          f"{t_onb:.1f} s)", file=sys.stderr, flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"END-TO-END test.py wall-clock ({model}, {n_imgs} "
+                    f"images x {n_inst} dets, incl. host decode/crop/csv) "
+                    "[vs_baseline = x54 crops/s yardstick]"
+                ),
+                "value": round(cps, 2),
+                "unit": "crops/s",
+                "vs_baseline": round(cps / 54.0, 2),
+            }
+        ),
+        flush=True,
     )
 
 
@@ -594,6 +798,10 @@ def main():
         ]:
             bench_stages(model)
             watchdog.pet()
+    elif mode == "sharded":
+        bench_sharded(forced_model or "dinov2_vitl14")
+    elif mode == "e2e":
+        bench_e2e(forced_model or "dinov2_vitl14")
     elif mode == "train":
         for model in [forced_model] if forced_model else [
             "dinov2_vits14", "dinov2_vitl14",

@@ -71,6 +71,11 @@ VIT_CONFIGS = {
     ),
     # tiny configs for CPU tests / smoke runs (not reference models)
     "vit_tiny_test": ViTConfig(embed_dim=64, depth=2, num_heads=2),
+    # mid-depth fixture for the int8 trained-weights gate (VERDICT r4 #3):
+    # 6 blocks of residual-stream growth at dim 256 — deep enough to
+    # measure the outlier-activation trend over depth, small enough to
+    # train on the rendered fixture in-env
+    "vit_deep_test": ViTConfig(embed_dim=256, depth=6, num_heads=4),
     "vit_tiny_swiglu_test": ViTConfig(
         embed_dim=64, depth=2, num_heads=2, mlp_ratio=8 / 3, ffn_layer="swiglu"
     ),

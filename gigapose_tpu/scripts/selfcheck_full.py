@@ -56,7 +56,10 @@ def main(argv=None):
     from gigapose_tpu.training.loop import FitConfig, fit
     from gigapose_tpu.training.state import OptimConfig
 
-    ae = AENet(model_name="vit_tiny_test")
+    # ae_model=vit_deep_test runs the int8 trained-weights gate on a
+    # 6-block dim-256 AE (VERDICT r4 #3: measure the outlier-growth trend
+    # over DEPTH, not extrapolate it from the 2-block tiny net)
+    ae = AENet(model_name=kv.get("ae_model", "vit_tiny_test"))
     ist = ISTNet(
         backbone=ISTBackbone(initial_dim=16, block_dims=(16, 16, 24, 32),
                              descriptor_size=32, input_size=256),

@@ -16,7 +16,11 @@ OBJ_ID = 1
 NUM_OBJECTS = 2  # a second object exercises multi-object label indexing
 
 
-def build(root: str, num_templates: int = 8, img_hw=(480, 640), obj_px=120):
+def build(root: str, num_templates: int = 8, img_hw=(480, 640), obj_px=120,
+          n_test_images: int = 1, insts_per_image: int = None):
+    """Defaults reproduce the original single-test-image fixture exactly.
+    n_test_images / insts_per_image (up to 8 grid slots) scale the TEST
+    split for end-to-end wall-clock benchmarking (bench.py mode=e2e)."""
     rng = np.random.default_rng(0)
     datasets = osp.join(root, "datasets")
     H, W = img_hw
@@ -48,38 +52,50 @@ def build(root: str, num_templates: int = 8, img_hw=(480, 640), obj_px=120):
             Image.fromarray(depth).save(osp.join(tdir, f"{v:06d}_depth.png"))
         np.save(osp.join(pose_dir, f"{obj_id:06d}.npy"), poses)
 
-    # --- one test scene with the object pasted off-center
+    # --- test scene(s) with objects pasted at non-overlapping grid slots
     scene_dir = osp.join(datasets, DS, "test", "000001")
     os.makedirs(osp.join(scene_dir, "rgb"), exist_ok=True)
-    img = (rng.uniform(0, 0.15, size=(H, W, 3)) * 255).astype(np.uint8)
-    # object 1 top-right, object 2 bottom-left
-    locations = [(100, 380), (280, 80)][:NUM_OBJECTS]
-    for obj_id, (qy, qx) in enumerate(locations, start=1):
-        img[qy : qy + obj_px, qx : qx + obj_px] = textures[obj_id - 1]
-    Image.fromarray(img).save(osp.join(scene_dir, "rgb", "000000.png"))
+    # legacy layout: object 1 top-right, object 2 bottom-left
+    slots = [(100, 380), (280, 80)]
+    n_inst = insts_per_image or NUM_OBJECTS
+    if n_inst > 2:
+        slots = [(y, x) for y in (60, 280) for x in (20, 180, 340, 500)]
+    assert n_inst <= len(slots)
     K = [572.4114, 0.0, 320.0, 0.0, 573.57043, 240.0, 0.0, 0.0, 1.0]
+    cams, dets, targets = {}, [], []
+    for im in range(n_test_images):
+        img = (rng.uniform(0, 0.15, size=(H, W, 3)) * 255).astype(np.uint8)
+        placed = []
+        for j in range(n_inst):
+            obj_id = 1 + j % NUM_OBJECTS
+            qy, qx = slots[j]
+            img[qy : qy + obj_px, qx : qx + obj_px] = textures[obj_id - 1]
+            placed.append((obj_id, qy, qx))
+        Image.fromarray(img).save(osp.join(scene_dir, "rgb", f"{im:06d}.png"))
+        cams[str(im)] = {"cam_K": K, "depth_scale": 1.0}
+        counts = {}
+        for obj_id, qy, qx in placed:
+            mask = np.zeros((H, W), np.uint8)
+            mask[qy : qy + obj_px, qx : qx + obj_px] = 1
+            dets.append(
+                {
+                    "scene_id": 1,
+                    "image_id": im,
+                    "category_id": obj_id,
+                    "score": 0.95,
+                    "bbox": [qx, qy, obj_px, obj_px],
+                    "segmentation": bop_io.rle_encode(mask),
+                    "time": 0.12,
+                }
+            )
+            counts[obj_id] = counts.get(obj_id, 0) + 1
+        for obj_id, cnt in sorted(counts.items()):
+            targets.append(
+                {"scene_id": 1, "im_id": im, "obj_id": obj_id,
+                 "inst_count": cnt}
+            )
     with open(osp.join(scene_dir, "scene_camera.json"), "w") as f:
-        json.dump({"0": {"cam_K": K, "depth_scale": 1.0}}, f)
-
-    # --- CNOS detections + targets
-    dets, targets = [], []
-    for obj_id, (qy, qx) in enumerate(locations, start=1):
-        mask = np.zeros((H, W), np.uint8)
-        mask[qy : qy + obj_px, qx : qx + obj_px] = 1
-        dets.append(
-            {
-                "scene_id": 1,
-                "image_id": 0,
-                "category_id": obj_id,
-                "score": 0.95,
-                "bbox": [qx, qy, obj_px, obj_px],
-                "segmentation": bop_io.rle_encode(mask),
-                "time": 0.12,
-            }
-        )
-        targets.append(
-            {"scene_id": 1, "im_id": 0, "obj_id": obj_id, "inst_count": 1}
-        )
+        json.dump(cams, f)
     det_dir = osp.join(
         datasets, "default_detections", "core19_model_based_unseen", "cnos-fastsam"
     )
