@@ -384,7 +384,7 @@ def bench_refine():
         dev_faces = os.environ.get("GIGAPOSE_BENCH_DEVICE_MAX_FACES")
         dev_chunk = int(os.environ.get("GIGAPOSE_BENCH_DEVICE_CHUNK", "64"))
         backends = {
-            "host": RefinerConfig(),
+            "host": RefinerConfig(pipeline_chunks=1),  # unpipelined baseline
             "pipelined": RefinerConfig(pipeline_chunks=2),
         }
         for budget in (dev_faces.split(",") if dev_faces else [""]):

@@ -53,8 +53,10 @@ class RefinerConfig:
     # (measured A/B in ROUND_NOTES r5 picks the default)
     renderer: str = "host"
     # host path only: pipeline host renders of detection chunk i+1 against
-    # chunk i's device step (1 = no pipelining)
-    pipeline_chunks: int = 1
+    # chunk i's device step (1 = no pipelining). Default 2 per the on-chip
+    # A/B (ROUND_NOTES r5 run 2: 12.12 vs 11.04 crops/s at B=16 — the
+    # exact-mesh winner); single-element batches fall back to unpipelined.
+    pipeline_chunks: int = 2
     # device path only: per-mesh face budget (vertex-clustering decimation,
     # device_render.decimate_vertex_clustering) — the on-device raster is
     # linear in face count; None renders the exact mesh. The host C++ raster
