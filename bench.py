@@ -126,13 +126,13 @@ def bench_onboarding(model: str):
     poses = [np.tile(np.eye(4, dtype=np.float32), (V, 1, 1)) for _ in range(n_objects)]
     # warm-up object compiles the chunked forward
     t_w = time.perf_counter()
-    warm = onboard_templates(est.ae_apply, est.ist_apply, rgbas[:1], poses[:1],
+    warm = onboard_templates(est.ae_apply_pair, est.ist_apply_pair, rgbas[:1], poses[:1],
                              feature_dtype=feature_dtype)
     _ = np.asarray(warm.ae_features[0, 0, 0, 0])
     print(f"[onboarding] warm-up (compile) {time.perf_counter() - t_w:.1f}s",
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    store = onboard_templates(est.ae_apply, est.ist_apply, rgbas, poses,
+    store = onboard_templates(est.ae_apply_pair, est.ist_apply_pair, rgbas, poses,
                               feature_dtype=feature_dtype)
     # fence with a scalar fetch: the store stays in HBM in production (the
     # matching consumer is on-device); a full-store host fetch would bill the

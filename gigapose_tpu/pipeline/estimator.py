@@ -294,7 +294,8 @@ class GigaPoseEstimator:
             )
             self.ist_net = iq
             self.ist_vars = iq.variables
-        for k in ("_jitted", "ae_apply", "ist_apply"):
+        for k in ("_jitted", "ae_apply", "ist_apply",
+                  "_ae_apply_fn", "_ist_apply_fn"):
             self.__dict__.pop(k, None)  # drop jit caches built on the old net
         return self
 
@@ -317,3 +318,25 @@ class GigaPoseEstimator:
         return jax.jit(
             lambda x: self.ist_net.apply(self.ist_vars, x, method=self.ist_net.features)
         )
+
+    # (pure_fn, params) forms for onboarding: the weights enter the fused
+    # onboarding program as runtime arguments instead of closure constants.
+    # A ViT-L int8 closure embeds ~300 MB of weights in the compiled module,
+    # which the axon relay's remote-compile endpoint rejects (HTTP 413,
+    # measured r5) — and even locally would re-serialize the checkpoint into
+    # every (V, chunk)-shaped onboarding variant's executable.
+    @functools.cached_property
+    def _ae_apply_fn(self):
+        return lambda p, x: self.ae_net.apply(p, x)
+
+    @property
+    def ae_apply_pair(self):
+        return self._ae_apply_fn, self.ae_params
+
+    @functools.cached_property
+    def _ist_apply_fn(self):
+        return lambda p, x: self.ist_net.apply(p, x, method=self.ist_net.features)
+
+    @property
+    def ist_apply_pair(self):
+        return self._ist_apply_fn, self.ist_vars

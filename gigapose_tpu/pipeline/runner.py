@@ -202,7 +202,7 @@ class CoarseRunner:
             rgbas.append(data["rgba"])
             poses.append(data["poses"])
         store = onboard_templates(
-            estimator.ae_apply, estimator.ist_apply, rgbas, poses,
+            estimator.ae_apply_pair, estimator.ist_apply_pair, rgbas, poses,
             feature_dtype=feature_dtype or jnp.float32,
             # view sharding: stream features to host per object so the full
             # store never materializes on one chip (peak = one object)
@@ -259,7 +259,7 @@ class CoarseRunner:
                 rgbas.append(data["rgba"])
                 poses.append(data["poses"])
             store = onboard_templates(
-                estimator.ae_apply, estimator.ist_apply, rgbas, poses,
+                estimator.ae_apply_pair, estimator.ist_apply_pair, rgbas, poses,
                 to_host=True,  # parts are written from host RAM anyway
             )
             for j, obj_id in enumerate(mine):

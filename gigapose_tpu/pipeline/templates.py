@@ -103,25 +103,55 @@ _onboard_prep = partial(jax.jit, static_argnames=("target_size", "num_patches"))
 
 
 @lru_cache(maxsize=16)
+def _wrap_paramless(apply):
+    """Adapt a bare `apply(x)` closure to the (params, x) calling convention
+    (params ignored). Cached so repeated onboarding calls with the same
+    closure reuse one wrapper object and hit _onboard_fn's compile cache."""
+
+    def fn(params, x):
+        del params
+        return apply(x)
+
+    return fn
+
+
+def _apply_pair(apply):
+    """Normalize an extractor spec to (pure_fn(params, x), params).
+
+    Callers may pass either a `(pure_fn, params)` tuple — weights enter the
+    onboarding program as RUNTIME ARGUMENTS — or a bare `apply(x)` closure
+    (legacy), whose captured weights become jaxpr constants embedded in the
+    compiled module. The closure form is fine for small nets but a ViT-L
+    int8 closure inlines ~300 MB of weights into the compile payload, which
+    a remote-compile relay rejects (HTTP 413, measured r5); prefer
+    estimator.ae_apply_pair / ist_apply_pair."""
+    if isinstance(apply, tuple):
+        return apply
+    return _wrap_paramless(apply), None
+
+
+@lru_cache(maxsize=16)
 def _onboard_fn(ae_apply, ist_apply, target_size: int, num_patches: int,
                 chunk: int, V: int, feature_dtype):
     """One jitted program for a whole object's onboarding: prep + chunked
     AE/IST forwards (lax.map bounds activation memory like the reference's
     forward_by_chunk) + feature cast. A single dispatch per object — on a
     remote (axon) backend every eager op/dispatch costs a round trip, which
-    dominated the first measured onboarding throughput (ROUND_NOTES r2)."""
+    dominated the first measured onboarding throughput (ROUND_NOTES r2).
+    ae_apply/ist_apply take (params, x); params ride as run() arguments so
+    large checkpoints never bloat the compile payload."""
     n_chunks = -(-V // chunk)
     Vp = n_chunks * chunk
 
     @jax.jit
-    def run(rgbas, boxes):
+    def run(ae_params, ist_params, rgbas, boxes):
         rgb, mask_img, masks, Ms = _onboard_prep_body(
             rgbas, boxes, target_size, num_patches
         )
         rgbp = jnp.pad(rgb, ((0, Vp - V), (0, 0), (0, 0), (0, 0)))
         chunks = rgbp.reshape(n_chunks, chunk, *rgb.shape[1:])
-        ae = jax.lax.map(ae_apply, chunks)  # (n_chunks, chunk, P, C)
-        ist = jax.lax.map(ist_apply, chunks)
+        ae = jax.lax.map(lambda c: ae_apply(ae_params, c), chunks)
+        ist = jax.lax.map(lambda c: ist_apply(ist_params, c), chunks)
         ae = ae.reshape(Vp, *ae.shape[2:])[:V].astype(feature_dtype)
         ist = ist.reshape(Vp, *ist.shape[2:])[:V].astype(feature_dtype)
         return rgb, mask_img, masks, Ms, ae, ist
@@ -158,11 +188,15 @@ def onboard_object(
     reference's forward_by_chunk (max_batch_size=64)."""
     V = np.asarray(rgbas).shape[0] if staged is None else staged[0].shape[0]
     dev_rgbas, dev_boxes = staged if staged is not None else stage_object(rgbas)
+    ae_fn, ae_params = _apply_pair(ae_apply)
+    ist_fn, ist_params = _apply_pair(ist_apply)
     run = _onboard_fn(
-        ae_apply, ist_apply, target_size, num_patches, min(chunk, V), V,
+        ae_fn, ist_fn, target_size, num_patches, min(chunk, V), V,
         np.dtype(feature_dtype),
     )
-    rgb, mask_img, masks, Ms, ae_f, ist_f = run(dev_rgbas, dev_boxes)
+    rgb, mask_img, masks, Ms, ae_f, ist_f = run(
+        ae_params, ist_params, dev_rgbas, dev_boxes
+    )
     return dict(
         ae_features=ae_f,
         ist_features=ist_f,
@@ -251,14 +285,14 @@ def _onboard_fn_sharded(ae_apply, ist_apply, mesh, target_size: int,
     n_chunks = -(-V // chunk)
     Vp = n_chunks * chunk
 
-    def one(rgbas, boxes):
+    def one(ae_params, ist_params, rgbas, boxes):
         rgb, mask_img, masks, Ms = _onboard_prep_body(
             rgbas, boxes, target_size, num_patches
         )
         rgbp = jnp.pad(rgb, ((0, Vp - V), (0, 0), (0, 0), (0, 0)))
         chunks = rgbp.reshape(n_chunks, chunk, *rgb.shape[1:])
-        ae = jax.lax.map(ae_apply, chunks)
-        ist = jax.lax.map(ist_apply, chunks)
+        ae = jax.lax.map(lambda c: ae_apply(ae_params, c), chunks)
+        ist = jax.lax.map(lambda c: ist_apply(ist_params, c), chunks)
         ae = ae.reshape(Vp, *ae.shape[2:])[:V].astype(feature_dtype)
         ist = ist.reshape(Vp, *ist.shape[2:])[:V].astype(feature_dtype)
         return rgb, mask_img, masks, Ms, ae, ist
@@ -266,8 +300,8 @@ def _onboard_fn_sharded(ae_apply, ist_apply, mesh, target_size: int,
     dp = NamedSharding(mesh, P("dp"))
     repl = NamedSharding(mesh, P())
     return jax.jit(
-        jax.vmap(one),
-        in_shardings=(dp, dp),
+        jax.vmap(one, in_axes=(None, None, 0, 0)),
+        in_shardings=(repl, repl, dp, dp),  # params replicated, objects dp
         out_shardings=repl,
     )
 
@@ -302,11 +336,15 @@ def onboard_templates_sharded(
         pad[:, :, 3, 0, 0] = 1 if rgbas.dtype == np.uint8 else 1.0
         rgbas = np.concatenate([rgbas, pad])
     boxes = np.stack([alpha_bboxes(r[:, 3]) for r in rgbas])
+    ae_fn, ae_params = _apply_pair(ae_apply)
+    ist_fn, ist_params = _apply_pair(ist_apply)
     run = _onboard_fn_sharded(
-        ae_apply, ist_apply, mesh, target_size, num_patches,
+        ae_fn, ist_fn, mesh, target_size, num_patches,
         min(chunk, V), V, np.dtype(feature_dtype),
     )
-    _, _, masks, Ms, ae_f, ist_f = run(jnp.asarray(rgbas), jnp.asarray(boxes))
+    _, _, masks, Ms, ae_f, ist_f = run(
+        ae_params, ist_params, jnp.asarray(rgbas), jnp.asarray(boxes)
+    )
     K = (
         np.stack([np.asarray(k) for k in Ks_per_object])
         if Ks_per_object is not None

@@ -271,3 +271,51 @@ def test_pipeline_with_pallas_matching():
     np.testing.assert_allclose(
         np.asarray(pred_x.poses), np.asarray(pred_p.poses), atol=1e-4
     )
+
+
+def test_onboard_params_are_runtime_args():
+    """(pure_fn, params) onboarding: weights enter the fused per-object
+    program as RUNTIME ARGUMENTS, not jaxpr constants. The legacy closure
+    form baked the extractor weights into the compiled module — at ViT-L
+    int8 that is ~300 MB of constants, which the axon relay's
+    remote-compile endpoint rejects outright (HTTP 413, ROUND_NOTES r5).
+    Pins (a) pair == closure numerics, (b) two param sets reuse ONE cached
+    program (proof the params are arguments: a constant-baked program could
+    not serve different weights without retracing)."""
+    from gigapose_tpu.pipeline import templates as T
+
+    V, H, C = 4, 32, 8
+    rng = np.random.default_rng(0)
+    rgbas = rng.uniform(size=(V, 4, H, H)).astype(np.float32)
+    rgbas[:, 3] = 1.0
+    poses = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+
+    def fn(p, x):  # (B, 3, 32, 32) -> (B, 16, C), params-dependent
+        B = x.shape[0]
+        pooled = x.reshape(B, 3, 4, 8, 4, 8).mean(axis=(3, 5))  # (B, 3, 4, 4)
+        feat = pooled.reshape(B, 3, 16).transpose(0, 2, 1)  # (B, 16, 3)
+        return feat @ p
+
+    p1 = jnp.asarray(rng.normal(size=(3, C)), jnp.float32)
+    p2 = jnp.asarray(rng.normal(size=(3, C)), jnp.float32)
+    kw = dict(target_size=32, num_patches=4, chunk=2)
+
+    before = T._onboard_fn.cache_info()
+    e1 = T.onboard_object((fn, p1), (fn, p1), rgbas, poses, **kw)
+    e2 = T.onboard_object((fn, p2), (fn, p2), rgbas, poses, **kw)
+    after = T._onboard_fn.cache_info()
+    # one program served both param sets (misses +1 for the first build,
+    # then a cache hit — weights are call arguments, not trace constants)
+    assert after.misses == before.misses + 1, (before, after)
+    assert after.hits == before.hits + 1, (before, after)
+    assert not np.allclose(np.asarray(e1["ae_features"]),
+                           np.asarray(e2["ae_features"]))
+
+    # legacy bare-closure form still works and matches the pair form
+    closure = jax.jit(lambda x: fn(p1, x))
+    e3 = T.onboard_object(closure, closure, rgbas, poses, **kw)
+    np.testing.assert_allclose(
+        np.asarray(e1["ae_features"]), np.asarray(e3["ae_features"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(e1["Ms"]), np.asarray(e3["Ms"]))
