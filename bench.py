@@ -533,6 +533,80 @@ def bench_stages(model: str):
     )
 
 
+def bench_istq():
+    """3-way IST-backbone A/B at the int8 serving batch, warm in ONE process
+    (the r3 A/B discipline): bf16 flax vs int8 DYNAMIC per-image scales
+    (the r4 loser — each conv pays an absmax reduction + an unfusible quant
+    pass) vs int8 STATIC calibrated scales (quant folds into the producing
+    conv's epilogue via XLA output fusion; models/ist_int8 docstring). The
+    ViT-S int8 pipeline is IST-bound (55% of the stage sum at B=64,
+    ROUND_NOTES r5 stage table), so this is the one remaining single-chip
+    lever the r5 decomposition named."""
+    import jax
+    import jax.numpy as jnp
+
+    from gigapose_tpu.models.ist_net import default_ist_net
+    from gigapose_tpu.models.ist_int8 import (
+        attach_static_act_scales, ist_act_absmax, ist_features_int8,
+        prepare_int8_ist_params,
+    )
+
+    B = int(os.environ.get("GIGAPOSE_BENCH_BATCH", "64"))
+    iters = int(os.environ.get("GIGAPOSE_BENCH_ITERS", "20"))
+    on_tpu = jax.default_backend() == "tpu"
+    cdt = "bfloat16" if on_tpu else None
+    qbackend = "int8" if on_tpu else "ref"
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, 3, 224, 224)), jnp.float32)
+
+    def timed(f, *args):
+        out = f(*args)
+        np.asarray(out[0, 0, 0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(*args)
+        np.asarray(out[0, 0, 0])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    ist = default_ist_net(compute_dtype=cdt)
+    iv = ist.init(jax.random.PRNGKey(1), x[:1], x[:1],
+                  jnp.zeros((1, 4, 2)), jnp.zeros((1, 4, 2)))
+    flax_ms = timed(
+        jax.jit(lambda v, x: ist.apply(v, x, method=ist.features)), iv, x
+    )
+
+    qp = prepare_int8_ist_params(iv, ist.backbone)
+    size = ist.backbone.input_size
+    dyn_ms = timed(
+        jax.jit(lambda q, x: ist_features_int8(q, x, size, qbackend)), qp, x
+    )
+
+    qp_s = attach_static_act_scales(
+        qp, ist_act_absmax(qp, x[:4], size, qbackend), margin=1.1
+    )
+    sta_ms = timed(
+        jax.jit(lambda q, x: ist_features_int8(q, x, size, qbackend)), qp_s, x
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"IST backbone A/B (B={B}): flax "
+                    f"{'bf16' if cdt else 'f32'} {flax_ms:.2f} ms, int8 "
+                    f"dynamic-scale {dyn_ms:.2f} ms, int8 static-scale "
+                    f"{sta_ms:.2f} ms"
+                ),
+                "value": round(sta_ms, 2),
+                "unit": "ms/batch (int8 static)",
+                "vs_baseline": round(flax_ms / sta_ms, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
 def bench_sharded(model: str):
     """Single-chip overhead bound for the view-sharded store (VERDICT r4
     next-round #7): coarse_forward_sharded on a (dp=1, tv=1) mesh vs the
@@ -798,6 +872,8 @@ def main():
         ]:
             bench_stages(model)
             watchdog.pet()
+    elif mode == "istq":
+        bench_istq()
     elif mode == "sharded":
         bench_sharded(forced_model or "dinov2_vitl14")
     elif mode == "e2e":

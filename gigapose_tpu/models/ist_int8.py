@@ -17,6 +17,21 @@ numerically IDENTICAL fake-quant math in f32 (CPU tests; the rounding and
 clipping are the same ops, only the accumulator type differs and int32 is
 exact for these sizes: 3x3x512 full-scale products < 2^27).
 
+Activation scales come in two modes:
+- dynamic (default): per-image absmax, computed on the fly. Robust, but
+  each conv pays an extra absmax reduction pass plus a quant pass that
+  cannot fuse into the producing conv (the scale is data-dependent) —
+  the measured reason the r4 on-chip A/B lost 9% to bf16 at ViT-S B=64
+  despite the 2x int8 MXU rate (ROUND_NOTES).
+- static (attach_static_act_scales / calibrate): per-conv scalar scales
+  calibrated once host-side. The quant chain (scale, round, clip, cast)
+  is then elementwise with compile-time-constant scales, so XLA fuses it
+  into the previous conv's output epilogue and the inter-conv HBM tensors
+  are int8 instead of f32 — the "quant folded into the conv epilogue"
+  design the r4 notes scoped for a Pallas kernel, obtained from XLA's own
+  conv output fusion. Out-of-range activations clip at +-127; the margin
+  knob and the trained-weights selfcheck gate bound that risk.
+
 Inference-only and OFF by default (model.serving_quant_ist) until the
 on-chip A/B lands — the r3 lesson (bf16 hand-fusion lost to XLA) says ship
 nothing unmeasured. Reference counterpart: the torch ResNet the reference
@@ -106,12 +121,23 @@ def prepare_int8_ist_params(ist_vars: dict, backbone: ISTBackbone) -> dict:
 
 
 def _qconv(
-    x: jnp.ndarray, layer: dict, stride: int, pad: int, backend: str
+    x: jnp.ndarray, layer: dict, stride: int, pad: int, backend: str,
+    collect: Optional[list] = None,
 ) -> jnp.ndarray:
-    """Dynamic per-image activation quant -> int8 conv (int32 accum) ->
-    fused dequant + folded-BN affine. x: (B, H, W, C) f32, NHWC/HWIO."""
-    sx = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True) / 127.0
-    sx = jnp.maximum(sx, 1e-12)
+    """Activation quant -> int8 conv (int32 accum) -> fused dequant +
+    folded-BN affine. x: (B, H, W, C) f32, NHWC/HWIO. A static per-conv
+    scale ("sa" in the layer tree) skips the absmax pass and lets the quant
+    chain fuse into x's producer; otherwise the scale is the dynamic
+    per-image absmax. `collect` (calibration) appends this conv's input
+    absmax."""
+    if collect is not None:
+        collect.append(jnp.max(jnp.abs(x)))
+    sa = layer.get("sa")
+    if sa is not None:
+        sx = sa  # scalar jnp constant -> whole chain is fusible elementwise
+    else:
+        sx = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True) / 127.0
+        sx = jnp.maximum(sx, 1e-12)
     xq = jnp.clip(jnp.round(x / sx), -127, 127)
     wq = layer["wq"]
     dn = lax.conv_dimension_numbers(x.shape, wq.shape, ("NHWC", "HWIO", "NHWC"))
@@ -131,26 +157,70 @@ def _qconv(
 
 def ist_features_int8(
     qp: dict, images: jnp.ndarray, input_size: int = 256,
-    backend: str = "int8",
+    backend: str = "int8", _collect: Optional[list] = None,
 ) -> jnp.ndarray:
     """(B, 3, H, W) -> (B, P, C) stride-16 descriptors; the ISTBackbone
     contract (ist_net.py)."""
     x = jnp.transpose(images, (0, 2, 3, 1)).astype(jnp.float32)
     x = resize_bilinear_align_corners(x, (input_size, input_size))
-    x = jax.nn.relu(_qconv(x, qp["conv1"], stride=2, pad=3, backend=backend))
+    x = jax.nn.relu(
+        _qconv(x, qp["conv1"], stride=2, pad=3, backend=backend,
+               collect=_collect)
+    )
     stage_strides = (1, 2, 2, 2)
     for idx, blk in enumerate(qp["layers"]):
         # layers are [stage0_blk0, stage0_blk1, stage1_blk0, ...]; only the
         # first block of a stage strides (static — never in the pytree)
         stride = stage_strides[idx // 2] if idx % 2 == 0 else 1
-        y = jax.nn.relu(_qconv(x, blk["conv1"], stride, 1, backend))
-        y = _qconv(y, blk["conv2"], 1, 1, backend)
+        y = jax.nn.relu(
+            _qconv(x, blk["conv1"], stride, 1, backend, collect=_collect)
+        )
+        y = _qconv(y, blk["conv2"], 1, 1, backend, collect=_collect)
         if "down" in blk:
-            x = _qconv(x, blk["down"], stride, 0, backend)
+            x = _qconv(x, blk["down"], stride, 0, backend, collect=_collect)
         x = jax.nn.relu(x + y)
-    x = _qconv(x, qp["out"], 1, 0, backend)
+    x = _qconv(x, qp["out"], 1, 0, backend, collect=_collect)
     B, H, W, C = x.shape
     return x.reshape(B, H * W, C)
+
+
+def ist_act_absmax(
+    qp: dict, images: jnp.ndarray, input_size: int = 256,
+    backend: str = "ref",
+) -> List[float]:
+    """Calibration pass: per-conv INPUT absmax over `images`, in the exact
+    _qconv call order of ist_features_int8 (the order
+    attach_static_act_scales consumes). Runs the quantized forward itself so
+    deep-layer stats reflect the serving distribution, not the f32 one."""
+    collected: list = []
+    ist_features_int8(qp, images, input_size, backend, _collect=collected)
+    return [float(a) for a in collected]
+
+
+def attach_static_act_scales(
+    qp: dict, absmaxes: List[float], margin: float = 1.0
+) -> dict:
+    """Attach static activation scales ("sa") to a quantized param tree, in
+    forward _qconv order (conv1; per block: conv1, conv2, down?; out).
+    margin > 1 leaves headroom above the calibration absmax before the
+    int8 clip bites."""
+    it = iter(absmaxes)
+
+    def nxt(layer: dict) -> dict:
+        sa = max(float(next(it)) * margin / 127.0, 1e-12)
+        return {**layer, "sa": jnp.asarray(sa, jnp.float32)}
+
+    out = {"conv1": nxt(qp["conv1"]), "layers": []}
+    for blk in qp["layers"]:
+        b = {"conv1": nxt(blk["conv1"]), "conv2": nxt(blk["conv2"])}
+        if "down" in blk:
+            b["down"] = nxt(blk["down"])
+        out["layers"].append(b)
+    out["out"] = nxt(qp["out"])
+    leftovers = sum(1 for _ in it)
+    if leftovers:
+        raise ValueError(f"{leftovers} unconsumed calibration scales")
+    return out
 
 
 class ISTNetInt8:
@@ -177,6 +247,20 @@ class ISTNetInt8:
             "flax": ist_vars,
         }
         return cls(ist_net, combined, backend)
+
+    def calibrate(self, images: jnp.ndarray, margin: float = 1.0) -> "ISTNetInt8":
+        """Switch to STATIC activation scales calibrated on `images` (e.g.
+        the first template-onboarding crops — the serving distribution).
+        Mutates self.variables; callers holding a reference to the old tree
+        (estimator.ist_vars) must re-fetch it — the pytree structure changes,
+        which also retriggers jit tracing."""
+        q = self.variables["q"]
+        absmaxes = ist_act_absmax(q, images, self.input_size, self.backend)
+        self.variables = {
+            **self.variables,
+            "q": attach_static_act_scales(q, absmaxes, margin),
+        }
+        return self
 
     # method markers (compared by identity inside apply)
     def features(self, images, train: bool = False):

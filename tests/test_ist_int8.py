@@ -14,7 +14,8 @@ import pytest
 
 from gigapose_tpu.models.ist_net import ISTBackbone, ISTNet, Regressor
 from gigapose_tpu.models.ist_int8 import (
-    ISTNetInt8, ist_features_int8, prepare_int8_ist_params,
+    ISTNetInt8, attach_static_act_scales, ist_act_absmax, ist_features_int8,
+    prepare_int8_ist_params,
 )
 
 
@@ -78,6 +79,77 @@ def test_int8_ist_wrapper_dispatch():
     # BN fold requires inference mode
     with pytest.raises(NotImplementedError):
         q.apply(q.variables, x, method=q.features, train=True)
+
+
+def test_static_scales_match_dynamic_on_calibration_input():
+    """Static activation scales calibrated on the same single image MUST
+    reproduce the dynamic path exactly: at B=1 the dynamic per-image absmax
+    and the calibration absmax are the same number, every intermediate is
+    identical, so the outputs agree to float noise."""
+    net, ist_vars = _tiny_ist(seed=4)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 3, 224, 224)), jnp.float32)
+    qp = prepare_int8_ist_params(ist_vars, net.backbone)
+    dyn = ist_features_int8(qp, x, 256, backend="ref")
+    absmaxes = ist_act_absmax(qp, x, 256, backend="ref")
+    qp_s = attach_static_act_scales(qp, absmaxes, margin=1.0)
+    sta = ist_features_int8(qp_s, x, 256, backend="ref")
+    np.testing.assert_allclose(np.asarray(sta), np.asarray(dyn), atol=1e-6)
+
+
+def test_static_scales_close_to_flax_on_held_out_inputs():
+    """Calibrate on one batch, serve another: the static path must stay
+    close to the f32 flax features (the int8 fidelity contract) despite the
+    held-out batch's absmax not being the calibration one; margin=1.1
+    leaves clip headroom."""
+    net, ist_vars = _tiny_ist(seed=5)
+    rng = np.random.default_rng(5)
+    calib = jnp.asarray(rng.normal(size=(2, 3, 224, 224)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 3, 224, 224)), jnp.float32)
+    qp = prepare_int8_ist_params(ist_vars, net.backbone)
+    qp_s = attach_static_act_scales(
+        qp, ist_act_absmax(qp, calib, 256, backend="ref"), margin=1.1
+    )
+    ref = net.apply(ist_vars, x, method=net.features)
+    got = ist_features_int8(qp_s, x, 256, backend="ref")
+    cos = jnp.sum(got * ref, -1) / (
+        jnp.linalg.norm(got, axis=-1) * jnp.linalg.norm(ref, axis=-1) + 1e-9
+    )
+    assert float(cos.mean()) > 0.99, float(cos.mean())
+    assert float(cos.min()) > 0.95, float(cos.min())
+
+
+def test_attach_static_scales_order_and_exhaustion():
+    """The calibration list length must exactly match the tree's conv count
+    (the zip is positional — a silent mismatch would misassign scales)."""
+    net, ist_vars = _tiny_ist(seed=6)
+    qp = prepare_int8_ist_params(ist_vars, net.backbone)
+    x = jnp.zeros((1, 3, 224, 224), jnp.float32)
+    absmaxes = ist_act_absmax(qp, x, 256, backend="ref")
+    # conv1 + 8 block convs (2 per block x 4 stages x 2 blocks) + 3 down
+    # convs (stages 2-4 stride) + out_conv
+    n_down = sum(1 for blk in qp["layers"] if "down" in blk)
+    assert len(absmaxes) == 1 + 2 * len(qp["layers"]) + n_down + 1
+    with pytest.raises(ValueError):
+        attach_static_act_scales(qp, absmaxes + [1.0])
+    with pytest.raises(StopIteration):
+        attach_static_act_scales(qp, absmaxes[:-1])
+
+
+def test_calibrate_wrapper():
+    """ISTNetInt8.calibrate switches to static scales in place and the
+    features dispatch still runs (jit retraces on the new pytree)."""
+    net, ist_vars = _tiny_ist(seed=7)
+    q = ISTNetInt8.from_ist_net(net, ist_vars, backend="ref")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 3, 224, 224)), jnp.float32)
+    before = q.apply(q.variables, x, method=q.features)
+    q.calibrate(x, margin=1.0)
+    assert "sa" in q.variables["q"]["conv1"]
+    after = q.apply(q.variables, x, method=q.features)
+    np.testing.assert_allclose(
+        np.asarray(after), np.asarray(before), atol=1e-6
+    )
 
 
 def test_estimator_pipeline_with_int8_ist():
