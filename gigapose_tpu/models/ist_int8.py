@@ -233,20 +233,31 @@ class ISTNetInt8:
         res = q.apply(q.variables, sf, tf, sp, tp, method=q.regress)
     """
 
-    def __init__(self, flax_net: ISTNet, variables: dict, backend: str = "int8"):
+    def __init__(self, flax_net: ISTNet, variables: dict, backend: str = "int8",
+                 static_scales: bool = False):
         self.flax_net = flax_net
         self.variables = variables
         self.backend = backend
         self.input_size = flax_net.backbone.input_size
+        # static_scales=True requests calibrated static activation scales;
+        # the calibration itself needs serving-distribution images, so it
+        # happens at template onboarding (CoarseRunner._maybe_calibrate_ist)
+        # — static_pending tells the runner to do it before any extraction.
+        self.static_scales = static_scales
+
+    @property
+    def static_pending(self) -> bool:
+        return self.static_scales and "sa" not in self.variables["q"]["conv1"]
 
     @classmethod
     def from_ist_net(cls, ist_net: ISTNet, ist_vars: dict,
-                     backend: str = "int8") -> "ISTNetInt8":
+                     backend: str = "int8",
+                     static_scales: bool = False) -> "ISTNetInt8":
         combined = {
             "q": prepare_int8_ist_params(ist_vars, ist_net.backbone),
             "flax": ist_vars,
         }
-        return cls(ist_net, combined, backend)
+        return cls(ist_net, combined, backend, static_scales=static_scales)
 
     def calibrate(self, images: jnp.ndarray, margin: float = 1.0) -> "ISTNetInt8":
         """Switch to STATIC activation scales calibrated on `images` (e.g.

@@ -264,7 +264,7 @@ class GigaPoseEstimator:
         return cls(ae_net, ist_net, ae_params, ist_vars, config)
 
     def quantize_serving(
-        self, backend: Optional[str] = None, ist: bool = False
+        self, backend: Optional[str] = None, ist=False
     ) -> "GigaPoseEstimator":
         """Swap the AE backbone for the W8A8 int8 serving path
         (models/vit_int8: fused Pallas LN+quant+matmul / attention-block /
@@ -273,7 +273,12 @@ class GigaPoseEstimator:
 
         ist=True additionally swaps the IST ResNet backbone to int8 convs
         (models/ist_int8 — XLA's native int8 MXU conv lowering; OFF by
-        default until the on-chip A/B is recorded).
+        default until the on-chip A/B is recorded). ist="static" further
+        requests STATIC calibrated activation scales — the quant chain then
+        fuses into each conv's producer (the dynamic per-image absmax was
+        the measured reason int8 IST lost to bf16, models/ist_int8
+        docstring); the calibration itself runs at template onboarding on
+        the serving crop distribution (CoarseRunner._maybe_calibrate_ist).
 
         Inference-only. Call AFTER loading checkpoints and BEFORE template
         onboarding: queries and the template store must share one feature
@@ -291,6 +296,7 @@ class GigaPoseEstimator:
             iq = ISTNetInt8.from_ist_net(
                 self.ist_net, self.ist_vars,
                 backend="int8" if backend != "ref" else "ref",
+                static_scales=(ist == "static"),
             )
             self.ist_net = iq
             self.ist_vars = iq.variables

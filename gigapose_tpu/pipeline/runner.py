@@ -162,6 +162,13 @@ class CoarseRunner:
         <template_dir>/onboarded_<tag>.npz — the feature-level analog of the
         reference's preprocessed pixel cache (template_dataset.py:85-120)."""
         timer = Timer().tic()
+        # static int8 IST scales calibrate BEFORE any feature extraction so
+        # the store and the queries share one calibrated extractor (also on
+        # cache hits: the cached features were extracted calibrated — the
+        # cache tag encodes the mode — and the query-side net must match)
+        cls._maybe_calibrate_ist(
+            estimator, template_dir, num_templates, scale_factor
+        )
         cache_path = (
             osp.join(template_dir, f"onboarded_{cache_tag}.npz") if cache_tag else None
         )
@@ -225,6 +232,48 @@ class CoarseRunner:
             logger.info(f"Saved onboarded store to {cache_path}")
         return cls(estimator=estimator, store=store, save_dir=save_dir,
                    dataset_name=dataset_name, template_dir=template_dir, **kwargs)
+
+    @staticmethod
+    def _maybe_calibrate_ist(
+        estimator: GigaPoseEstimator,
+        template_dir: str,
+        num_templates: Optional[int] = None,
+        scale_factor: float = 1.0,
+        n_calib_views: int = 16,
+        margin: float = 1.1,
+    ) -> None:
+        """Calibrate STATIC activation scales for an int8 IST backbone
+        (models/ist_int8, quantize_serving(ist="static")) on the first
+        object's prepared template crops — the serving crop distribution,
+        preprocessed bit-identically to onboarding (prepare_template_crops).
+        margin=1.1 leaves clip headroom for query crops whose absmax exceeds
+        the calibration sample (fidelity bounded by
+        test_static_scales_close_to_flax_on_held_out_inputs). Deterministic
+        across processes — same crops give the same scales — so
+        multi-process onboarding needs no scale broadcast. No-op unless the
+        estimator's IST net requested static scales and is uncalibrated."""
+        net = estimator.ist_net
+        if not getattr(net, "static_pending", False):
+            return
+        from gigapose_tpu.pipeline.templates import prepare_template_crops
+
+        obj_ids = list_objects(template_dir)
+        data = load_object_templates(
+            template_dir, obj_ids[0], num_templates, scale_factor,
+            as_uint8=True,
+        )
+        crops = prepare_template_crops(data["rgba"][:n_calib_views])
+        net.calibrate(crops, margin=margin)
+        # the calibrated tree has a new structure: re-fetch it and drop the
+        # estimator's jit caches built on the old one
+        estimator.ist_vars = net.variables
+        for k in ("_jitted", "ist_apply", "_ist_apply_fn"):
+            estimator.__dict__.pop(k, None)
+        logger.info(
+            f"Calibrated static int8 IST activation scales on "
+            f"{int(crops.shape[0])} template crops (object {obj_ids[0]}, "
+            f"margin {margin})"
+        )
 
     @classmethod
     def _onboard_distributed(

@@ -159,6 +159,22 @@ def _onboard_fn(ae_apply, ist_apply, target_size: int, num_patches: int,
     return run
 
 
+def prepare_template_crops(
+    rgbas: np.ndarray, target_size: int = 224, num_patches: int = 16
+) -> jnp.ndarray:
+    """(V, 4, H, W) RGBA templates -> (V, 3, S, S) CLIP-normalized crops —
+    exactly what the onboarding extractors consume. Public so callers that
+    need a small sample of the serving crop distribution (e.g. static int8
+    activation-scale calibration, CoarseRunner._maybe_calibrate_ist) get
+    bit-identical preprocessing to the store's own features."""
+    rgbas = np.asarray(rgbas)
+    boxes = alpha_bboxes(rgbas[:, 3])
+    rgb, _, _, _ = _onboard_prep(
+        jnp.asarray(rgbas), jnp.asarray(boxes), target_size, num_patches
+    )
+    return rgb
+
+
 def stage_object(rgbas: np.ndarray):
     """Start the async host->HBM upload of one object's templates and compute
     the alpha bboxes host-side. jax.device_put returns immediately, so calling

@@ -116,11 +116,16 @@ def _maybe_quantize(est, cfg):
         sq = "int8" if jax.default_backend() == "tpu" else "off"
     if sq == "int8":
         # model.serving_quant_ist: off (default, pending the on-chip A/B) |
-        # int8 — swaps the IST ResNet to int8 convs too (models/ist_int8)
-        ist_q = str(cfg.model.get("serving_quant_ist", "off")).lower() == "int8"
+        # int8 (dynamic per-image scales — the r4 measured loser) |
+        # int8-static (static scales calibrated at onboarding; the quant
+        # chain fuses into each conv's producer — models/ist_int8)
+        ist_mode = str(cfg.model.get("serving_quant_ist", "off")).lower()
+        ist_q = {"int8": True, "int8-static": "static"}.get(ist_mode, False)
         est.quantize_serving(ist=ist_q)
         print("AE serving precision: int8 W8A8 fused kernels "
-              + ("+ int8 IST convs " if ist_q else "")
+              + ("+ int8 IST convs "
+                 + ("(static scales) " if ist_q == "static" else "")
+                 if ist_q else "")
               + "(model.serving_quant=off for the bf16/f32 flax path)")
     return est
 
@@ -137,7 +142,10 @@ def _cache_tag(cfg, est):
     if type(est.ae_net).__name__ == "AENetInt8":
         tag = f"{tag}-int8"
     if type(est.ist_net).__name__ == "ISTNetInt8":
-        tag = f"{tag}-int8ist"
+        # static-scale features are not interchangeable with dynamic-scale
+        # ones (the scales round differently); separate cache namespaces
+        suffix = "s" if getattr(est.ist_net, "static_scales", False) else ""
+        tag = f"{tag}-int8ist{suffix}"
     return tag
 
 

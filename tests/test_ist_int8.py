@@ -152,6 +152,48 @@ def test_calibrate_wrapper():
     )
 
 
+def test_onboard_calibrates_static_ist_scales(tmp_path):
+    """quantize_serving(ist="static") + CoarseRunner.onboard: calibration on
+    the first object's template crops happens BEFORE feature extraction, the
+    estimator's ist_vars are re-fetched (the calibrated pytree has a new
+    structure), the onboarded store is finite, and the cache tag separates
+    the static namespace from the dynamic one."""
+    import os
+
+    from tests import synthetic_bop
+    import test as test_cli
+    from gigapose_tpu.pipeline.runner import CoarseRunner
+    from gigapose_tpu.utils.config import load_config
+
+    root = synthetic_bop.build(str(tmp_path))
+    cfg = load_config("test", ["test_dataset_name=tudl"])
+    est = test_cli.build_estimator(cfg, tiny=True)
+    est.quantize_serving(backend="ref", ist="static")
+    assert est.ist_net.static_pending
+    # the cache tag must namespace static-scale stores apart from dynamic
+    cfg_tag = load_config(
+        "test", ["test_dataset_name=tudl", "onboarding_cache=tiny"]
+    )
+    assert test_cli._cache_tag(cfg_tag, est).endswith("-int8ists")
+
+    tdir = os.path.join(root, "datasets", "templates", "tudl")
+    runner = CoarseRunner.onboard(
+        est, template_dir=tdir, save_dir=str(tmp_path / "r"),
+        dataset_name="tudl", num_templates=8,
+    )
+    assert not est.ist_net.static_pending
+    assert "sa" in est.ist_net.variables["q"]["conv1"]
+    # the estimator must hold the CALIBRATED tree (quantize_serving's
+    # re-fetch contract), not the stale pre-calibration one
+    assert "sa" in est.ist_vars["q"]["conv1"]
+    assert np.isfinite(np.asarray(runner.store.ist_features)).all()
+    # a second onboard is a no-op calibration (already calibrated)
+    CoarseRunner.onboard(
+        est, template_dir=tdir, save_dir=str(tmp_path / "r2"),
+        dataset_name="tudl", num_templates=8,
+    )
+
+
 def test_estimator_pipeline_with_int8_ist():
     """quantize_serving(ist=True) end to end: the coarse pipeline runs and
     its retrieval/poses stay consistent with the float pipeline on the same
