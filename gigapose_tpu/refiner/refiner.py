@@ -68,7 +68,16 @@ class RefinerConfig:
     # pose — the refiner then never returns a pose its own scorer judges
     # worse than its input (a robustness upgrade over the reference, which
     # only scores refined hypotheses, pose_estimator.py:102-216; it clamps
-    # the runaway-update failure mode of a badly-conditioned refiner net)
+    # the runaway-update failure mode of a badly-conditioned refiner net).
+    # The comparison happens in ONE shared crop frame (the init pose's):
+    # each pose's own deepim crop re-centers and re-scales around that pose,
+    # so own-frame renders all look near-canonical and their scores are not
+    # comparable — the r4/r5 slow-gate incidents traced to exactly that
+    # (the degraded refined pose's own-frame score edged out the init's).
+    # In the init frame, the candidate that is actually aligned with the
+    # observed object wins; the scorer trains on this structure too
+    # (training.py scorer batch). Reported scores stay own-frame (reference
+    # scoring semantics); only the keep decision uses the shared frame.
     keep_best_init: bool = True
 
 
@@ -436,10 +445,21 @@ class RenderCompareRefiner:
                     TCO, K_crop, out[:, 6:9], dR, tCR)
             TCO_n, scores = score(TCO)
             if cfg.keep_best_init:
-                TCO_0, s0 = score(TCO_init)
-                keep = s0 > scores
+                # referee init vs refined in the SHARED init-pose crop
+                # frame (RefinerConfig.keep_best_init); reported scores
+                # stay own-frame
+                TCO_0, tCR0, K_crop0, crops0 = _crop_prep(
+                    images, K, TCO_init, points, cfg.render_size, cfg.lamb)
+                x0 = jnp.concatenate(
+                    [crops0, render(TCO_0, K_crop0)], axis=1)
+                s0 = jax.nn.sigmoid(self.scorer_net.apply(scorer_vars, x0))
+                xr = jnp.concatenate(
+                    [crops0, render(TCO_n, K_crop0)], axis=1)
+                s_ref_sf = jax.nn.sigmoid(
+                    self.scorer_net.apply(scorer_vars, xr))
+                keep = s0 > s_ref_sf
                 TCO_n = jnp.where(keep[:, None, None], TCO_0, TCO_n)
-                scores = jnp.maximum(s0, scores)
+                scores = jnp.where(keep, s0, scores)
             return TCO_n, scores
 
         object.__setattr__(self, "_device_loop_cache", run)
@@ -530,21 +550,33 @@ class RenderCompareRefiner:
         )
         TCO_out = pack_h[:, :16].reshape(B, 4, 4)  # already fetched
         if self.config.keep_best_init:
-            # score the init pose with the same scorer; keep whichever wins
+            # referee init vs refined in the SHARED init-pose crop frame
+            # (see RefinerConfig.keep_best_init): render both candidates
+            # with the init crop's intrinsics against the init-frame
+            # observed crop, keep whichever the scorer ranks aligned
             TCO_0, _, K_0, crops_0, pack0 = crop_step(imgs, Kd, jnp.asarray(
                 TCO_init, jnp.float32), pts)
             pack0_h = np.asarray(pack0)
+            TCO_0_h = pack0_h[:, :16].reshape(B, 4, 4)
+            K_0_h = pack0_h[:, 16:].reshape(B, 3, 3)
             renders_0 = self.meshes.render_batch(
-                labels, pack0_h[:, :16].reshape(B, 4, 4),
-                pack0_h[:, 16:].reshape(B, 3, 3),
+                labels, TCO_0_h, K_0_h,
                 self.config.render_size, out_dtype=np.uint8,
             )
             s0 = np.asarray(
                 score_step(self.scorer_vars, crops_0, jnp.asarray(renders_0))
             )
-            keep = s0 > scores
-            TCO_out = np.where(
-                keep[:, None, None], pack0_h[:, :16].reshape(B, 4, 4), TCO_out
+            renders_ref_sf = self.meshes.render_batch(
+                labels, TCO_out, K_0_h,
+                self.config.render_size, out_dtype=np.uint8,
             )
-            scores = np.maximum(s0, scores)
+            s_ref_sf = np.asarray(
+                score_step(self.scorer_vars, crops_0,
+                           jnp.asarray(renders_ref_sf))
+            )
+            keep = s0 > s_ref_sf
+            TCO_out = np.where(keep[:, None, None], TCO_0_h, TCO_out)
+            # reported scores stay own-frame: the winner's own-frame score
+            # (s0 IS the init's own-frame score — the init crop is its frame)
+            scores = np.where(keep, s0, scores)
         return TCO_out, scores

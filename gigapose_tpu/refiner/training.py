@@ -274,7 +274,17 @@ def train_refiner(
             K_crop, tCR, jnp.asarray(batch["TCO_gt"]), pts,
         )
         if train_scorer:
-            # positives: renders at the GT pose; negatives: at the perturbed
+            # three classes, matching the two ways inference queries the
+            # scorer (refiner.py keep_best_init):
+            # 1. own-frame positive: GT render in the GT pose's own crop —
+            #    aligned and centered (a converged refinement scored in its
+            #    own frame must read positive),
+            # 2. SHARED-frame positive: GT pose rendered in the INIT crop's
+            #    frame — aligned with the observed object but off-center
+            #    (the keep-best referee compares candidates in the init
+            #    frame, so alignment must outrank centering),
+            # 3. negative: the perturbed init render in its own frame —
+            #    centered but misaligned.
             TCO_gt_n, _, K_gt, crops_gt, pack_gt = crop_step(
                 jnp.asarray(batch["images"]), jnp.asarray(batch["K"]),
                 jnp.asarray(batch["TCO_gt"]), pts,
@@ -284,12 +294,17 @@ def train_refiner(
                 batch["labels"], pg[:, :16].reshape(Bc, 4, 4),
                 pg[:, 16:].reshape(Bc, 3, 3), cfg.render_size,
             )
-            x_crops = jnp.concatenate([crops_gt, crops], 0)
+            renders_gt_sf = refiner.meshes.render_batch(
+                batch["labels"], pg[:, :16].reshape(Bc, 4, 4),
+                pack_h[:, 16:].reshape(Bc, 3, 3), cfg.render_size,
+            )
+            x_crops = jnp.concatenate([crops_gt, crops, crops], 0)
             x_renders = jnp.concatenate(
-                [jnp.asarray(renders_gt), jnp.asarray(renders)], 0
+                [jnp.asarray(renders_gt), jnp.asarray(renders_gt_sf),
+                 jnp.asarray(renders)], 0
             )
             y = jnp.concatenate(
-                [jnp.ones(len(renders_gt)), jnp.zeros(len(renders))]
+                [jnp.ones(2 * len(renders_gt)), jnp.zeros(len(renders))]
             )
             s_params, s_stats, s_opt_state, s_loss = scorer_step(
                 s_params, s_stats, s_opt_state, x_crops, x_renders, y

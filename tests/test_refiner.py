@@ -163,6 +163,62 @@ def _cube_scene(ref, b=1):
             np.ones(b, np.int64), np.repeat(init[None], b, 0))
 
 
+def test_keep_best_init_shared_frame_guard(tmp_path):
+    """keep_best_init contract: with a sound referee the refiner NEVER
+    returns a pose worse-aligned than its input. Start from a PERFECT init;
+    the untrained refiner net degrades it; a deterministic photometric
+    referee (stand-in for the trained scorer, same calling convention)
+    must keep the init. Exercises the shared-frame comparison plumbing —
+    both candidates rendered in the init crop's frame (refiner.py
+    keep_best block; the r4/r5 slow-gate incidents traced to comparing
+    scores across DIFFERENT crop frames)."""
+    import jax
+
+    from gigapose_tpu.refiner.refiner import _as_f01
+
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, 3] = [0.02, -0.01, 0.5]
+
+    @jax.jit
+    def photometric_score(scorer_vars, crops, renders):
+        err = jnp.abs(crops - _as_f01(renders)).mean(axis=(1, 2, 3))
+        return jnp.exp(-10.0 * err)
+
+    def _degrade(ref):
+        # the untrained pose_head is identity-init (network.py:72-77); bump
+        # the vz-multiplier bias so every iteration pushes z 30% deeper —
+        # a deterministic stand-in for a runaway-basin refiner
+        import flax
+
+        v = flax.core.unfreeze(ref.refiner_vars)
+        b = v["params"]["pose_head"]["bias"]
+        v["params"]["pose_head"]["bias"] = b.at[8].add(0.3)
+        ref.refiner_vars = v
+        return ref
+
+    # guard off: the degrading net must actually move the pose (otherwise
+    # the guarded assertion below would be vacuous)
+    ref_off = _degrade(
+        _cube_refiner(tmp_path, keep_best_init=False, pipeline_chunks=1)
+    )
+    img, K, labels, _ = _cube_scene(ref_off)
+    out_off, _ = ref_off.refine_batch(img, K, labels, gt[None], n_iterations=2)
+    assert np.abs(out_off[0] - gt).max() > 1e-3
+
+    # guard on, photometric referee: init (perfectly aligned) wins
+    ref_on = _degrade(
+        _cube_refiner(tmp_path, keep_best_init=True, pipeline_chunks=1)
+    )
+    crop_step, update_step, _ = ref_on._device_steps()
+    object.__setattr__(
+        ref_on, "_steps_cache", (crop_step, update_step, photometric_score)
+    )
+    out_on, scores = ref_on.refine_batch(img, K, labels, gt[None],
+                                         n_iterations=2)
+    np.testing.assert_allclose(out_on[0], gt, atol=1e-4)
+    assert float(scores[0]) > 0.5  # the aligned render's photometric score
+
+
 def test_device_render_matches_host_render(tmp_path):
     """The stacked on-device mesh pack rasterizes the same images as the
     host C++ path (up to edge pixels — same bound as test_jax_renderer)."""
